@@ -1,0 +1,189 @@
+"""Surface of Active Events (SAE) + exponential-decay time surfaces.
+
+TPU-native re-design of the reference per-event sequential loop
+(/root/reference/feature_tracker/src/event_detector/event_detector.cc:149-166,
+230-267).  Key observation enabling full parallelism: the reference refractory
+filter for an event depends only on the timestamps of the *immediately
+preceding* events at the same pixel (same and opposite polarity) — `sae_latest`
+is unconditionally overwritten (event_detector.cc:157-162), so there is no
+accept/reject recursion.  Those "previous times" are computed exactly with one
+stable sort by pixel + a segmented exclusive max-scan, then the SAE updates
+become two scatter-max ops.  Event chunks are fixed-capacity arrays with a
+validity mask (static shapes for XLA).
+
+Acceptance rule (event_detector.cc:157): an event (t, x, y, pol) refreshes
+``sae[pol]`` iff  t > t_prev_same + filter_threshold  OR  t_prev_inv > t_prev_same.
+``sae_latest[pol]`` always takes the newest event time.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -1e30  # "no event yet" sentinel for max-scans; state arrays use 0.0 like the ref
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EventChunk:
+    """Fixed-capacity chunk of events, time-sorted, mask-padded."""
+
+    t: jnp.ndarray      # (E,) float32 seconds
+    x: jnp.ndarray      # (E,) int32 column
+    y: jnp.ndarray      # (E,) int32 row
+    p: jnp.ndarray      # (E,) int32 polarity in {0, 1}
+    valid: jnp.ndarray  # (E,) bool
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SAEState:
+    """Per-camera SAE pair: filtered surface + raw latest surface, (2, H, W)."""
+
+    sae: jnp.ndarray         # (2, H, W) float32 — refractory-filtered times
+    sae_latest: jnp.ndarray  # (2, H, W) float32 — every event's time
+
+
+def init_sae(height: int, width: int, dtype=jnp.float32) -> SAEState:
+    z = jnp.zeros((2, height, width), dtype)
+    return SAEState(sae=z, sae_latest=z)
+
+
+def _segmented_exclusive_max(values, seg_start):
+    """Exclusive max-scan that resets at segment starts.
+
+    values: (N,) floats; seg_start: (N,) bool with seg_start[0] == True.
+    Returns (N,) where out[k] = max(values[j] for j<k in k's segment) else _NEG.
+    """
+
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, jnp.maximum(va, vb))
+
+    _, inc = jax.lax.associative_scan(combine, (seg_start, values))
+    exc = jnp.concatenate([jnp.full((1,), _NEG, values.dtype), inc[:-1]])
+    return jnp.where(seg_start, _NEG, exc)
+
+
+def prev_event_times(state: SAEState, chunk: EventChunk):
+    """For each chunk event: previous same-pol / opposite-pol event time at its pixel.
+
+    Exactly reproduces what `sae_latest_[pol](x,y)` / `sae_latest_[pol_inv](x,y)`
+    held when the reference processed that event sequentially (the chunk is
+    time-ordered; carried state provides times before the chunk).
+    """
+    H, W = state.sae.shape[1:]
+    pix = jnp.where(chunk.valid, chunk.y * W + chunk.x, H * W)  # padding → own segment
+    order = jnp.argsort(pix, stable=True)  # stable keeps time order within a pixel
+    pix_s = pix[order]
+    t_s = chunk.t[order]
+    p_s = chunk.p[order]
+
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]]
+    )
+    val_pos = jnp.where(p_s == 1, t_s, _NEG)
+    val_neg = jnp.where(p_s == 0, t_s, _NEG)
+    prev_pos_chunk = _segmented_exclusive_max(val_pos, seg_start)
+    prev_neg_chunk = _segmented_exclusive_max(val_neg, seg_start)
+
+    safe_pix = jnp.minimum(pix_s, H * W - 1)
+    carried_pos = state.sae_latest[1].reshape(-1)[safe_pix]
+    carried_neg = state.sae_latest[0].reshape(-1)[safe_pix]
+    prev_pos = jnp.maximum(prev_pos_chunk, carried_pos)
+    prev_neg = jnp.maximum(prev_neg_chunk, carried_neg)
+
+    # un-sort back to chunk order
+    inv = jnp.argsort(order)
+    prev_pos = prev_pos[inv]
+    prev_neg = prev_neg[inv]
+    prev_same = jnp.where(chunk.p == 1, prev_pos, prev_neg)
+    prev_inv = jnp.where(chunk.p == 1, prev_neg, prev_pos)
+    return prev_same, prev_inv
+
+
+def update_sae(state: SAEState, chunk: EventChunk,
+               filter_threshold: float) -> Tuple[SAEState, jnp.ndarray]:
+    """Apply one event chunk to the SAE.  Returns (new_state, accepted_mask)."""
+    H, W = state.sae.shape[1:]
+    prev_same, prev_inv = prev_event_times(state, chunk)
+    accepted = (chunk.t > prev_same + filter_threshold) | (prev_inv > prev_same)
+    accepted = accepted & chunk.valid
+
+    flat_idx = chunk.p * (H * W) + chunk.y * W + chunk.x
+    flat_idx = jnp.where(chunk.valid, flat_idx, 0)
+
+    t_all = jnp.where(chunk.valid, chunk.t, _NEG)
+    latest = state.sae_latest.reshape(-1).at[flat_idx].max(t_all, mode="drop")
+    t_acc = jnp.where(accepted, chunk.t, _NEG)
+    filtered = state.sae.reshape(-1).at[flat_idx].max(t_acc, mode="drop")
+
+    return (
+        SAEState(sae=filtered.reshape(2, H, W), sae_latest=latest.reshape(2, H, W)),
+        accepted,
+    )
+
+
+def harvest_filter(state: SAEState, chunk: EventChunk) -> jnp.ndarray:
+    """Corner-harvest admission test against the post-chunk SAE.
+
+    Mirrors the opening rejection in isCorner (event_detector.cc:315-317):
+    reject if (t > sae_latest[pol] + thr) or (sae_latest[pol_inv] > sae_latest[pol]).
+    Since the chunk is already applied, the first clause is never true for chunk
+    events; the second rejects pixels whose most recent event flipped polarity.
+    """
+    H, W = state.sae.shape[1:]
+    xs = jnp.clip(chunk.x, 0, W - 1)
+    ys = jnp.clip(chunk.y, 0, H - 1)
+    lat_same = state.sae_latest[chunk.p, ys, xs]
+    lat_inv = state.sae_latest[1 - chunk.p, ys, xs]
+    ok = ~(lat_inv > lat_same)
+    return ok & chunk.valid
+
+
+def time_surface(state: SAEState, t_now, decay_ms: float,
+                 ignore_polarity: bool = False,
+                 quantize: bool = True) -> jnp.ndarray:
+    """Render the exponential-decay time surface (event_detector.cc:230-267).
+
+    Returns (H, W) float32 in [0, 255] (rounded to integers when `quantize`,
+    matching the reference's CV_8U conversion that feeds LK tracking).
+    """
+    decay = decay_ms / 1000.0
+    newest = jnp.maximum(state.sae[0], state.sae[1])
+    has_event = newest > 0.0
+    val = jnp.exp(-(t_now - newest) / decay)
+    if ignore_polarity:
+        out = jnp.where(has_event, val, 0.0) * 255.0
+    else:
+        sign = jnp.where(state.sae[1] > state.sae[0], 1.0, -1.0)
+        out = 255.0 * (jnp.where(has_event, val * sign, 0.0) + 1.0) * 0.5
+    out = jnp.clip(out, 0.0, 255.0)
+    if quantize:
+        out = jnp.round(out)
+    return out
+
+
+def chunk_from_arrays(t, x, y, p, capacity: int, dtype=jnp.float32) -> EventChunk:
+    """Host helper: pack numpy-ish arrays into a padded EventChunk."""
+    import numpy as np
+
+    n = min(len(t), capacity)
+    T = np.zeros(capacity, np.float32)
+    X = np.zeros(capacity, np.int32)
+    Y = np.zeros(capacity, np.int32)
+    P = np.zeros(capacity, np.int32)
+    V = np.zeros(capacity, bool)
+    T[:n] = np.asarray(t[:n], np.float32)
+    X[:n] = np.asarray(x[:n], np.int32)
+    Y[:n] = np.asarray(y[:n], np.int32)
+    P[:n] = np.asarray(p[:n], np.int32)
+    V[:n] = True
+    return EventChunk(
+        t=jnp.asarray(T, dtype), x=jnp.asarray(X), y=jnp.asarray(Y),
+        p=jnp.asarray(P), valid=jnp.asarray(V),
+    )

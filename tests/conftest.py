@@ -1,0 +1,32 @@
+"""Test configuration: run on a virtual 8-device CPU mesh (no TPU needed).
+
+The sandbox's sitecustomize force-registers the axon TPU backend and sets
+jax_platforms="axon,cpu" in every interpreter; tests must run on CPU with 8
+virtual devices (SURVEY.md §4), so we override the config back *before* any
+backend is initialized.  x64 is enabled for numerical oracles; the TPU bench
+path runs f32.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, jax.devices()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
