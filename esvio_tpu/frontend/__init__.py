@@ -1,0 +1,1 @@
+from esvio_tpu.frontend import pyramid, lk, ransac, mask  # noqa: F401

@@ -1,0 +1,61 @@
+"""Image pyramids + derivative images for pyramidal LK (pure JAX).
+
+Equivalent role to OpenCV buildOpticalFlowPyramid used by the reference
+(feature_tracker.cpp:185): 5-tap Gaussian pyrDown and Scharr derivatives,
+expressed as depthwise convolutions so XLA can fuse/tile them.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_GAUSS5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+# Scharr 3×3 (OpenCV cv::Scharr as used inside calcOpticalFlowPyrLK); the
+# LK implementation scales by 1/32 when building Ix/Iy
+_SCHARR_D = jnp.array([-1.0, 0.0, 1.0])
+_SCHARR_S = jnp.array([3.0, 10.0, 3.0])
+
+
+def _sep_conv2d(img, ky, kx):
+    """Separable 2-D convolution with edge replication, (H, W) float."""
+    py = ky.shape[0] // 2
+    px = kx.shape[0] // 2
+    img = jnp.pad(img, ((py, py), (px, px)), mode="edge")
+    img = jax.vmap(lambda row: jnp.convolve(row, kx[::-1], mode="valid"))(img)
+    img = jax.vmap(lambda col: jnp.convolve(col, ky[::-1], mode="valid"),
+                   in_axes=1, out_axes=1)(img)
+    return img
+
+
+def pyr_down(img):
+    """Gaussian blur + 2× decimation (cv::pyrDown semantics)."""
+    g = _GAUSS5.astype(img.dtype)
+    return _sep_conv2d(img, g, g)[::2, ::2]
+
+
+def build_pyramid(img, levels: int) -> List[jnp.ndarray]:
+    """Return [level0 (full res), level1, ...] — `levels` entries."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(pyr_down(pyr[-1]))
+    return pyr
+
+
+def scharr_derivatives(img) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Ix, Iy) with the 1/32 normalization used by OpenCV's LK."""
+    d = _SCHARR_D.astype(img.dtype)
+    s = _SCHARR_S.astype(img.dtype)
+    ix = _sep_conv2d(img, s, d) / 32.0
+    iy = _sep_conv2d(img, d, s) / 32.0
+    return ix, iy
+
+
+def build_lk_pyramid(img, levels: int):
+    """Pyramid of (image, Ix, Iy) triples for LK tracking."""
+    out = []
+    for lvl_img in build_pyramid(img, levels):
+        ix, iy = scharr_derivatives(lvl_img)
+        out.append((lvl_img, ix, iy))
+    return out

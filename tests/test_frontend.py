@@ -1,0 +1,156 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from esvio_tpu.frontend import pyramid, lk, ransac, mask
+
+
+def synth_image(rng, H=120, W=160):
+    """Smooth random texture with strong gradients (sum of gaussians)."""
+    img = np.zeros((H, W))
+    for _ in range(250):
+        cx = rng.uniform(10, W - 10)
+        cy = rng.uniform(10, H - 10)
+        s = rng.uniform(1.5, 4.0)
+        a = rng.uniform(50, 255)
+        y, x = np.mgrid[0:H, 0:W]
+        img += a * np.exp(-((x - cx) ** 2 + (y - cy) ** 2) / (2 * s * s))
+    return np.clip(img, 0, 255)
+
+
+def shift_image(img, dx, dy):
+    """Bilinear shift: out(x) = in(x - d)."""
+    H, W = img.shape
+    y, x = np.mgrid[0:H, 0:W].astype(np.float64)
+    xs = np.clip(x - dx, 0, W - 1.001)
+    ys = np.clip(y - dy, 0, H - 1.001)
+    x0 = xs.astype(int)
+    y0 = ys.astype(int)
+    fx = xs - x0
+    fy = ys - y0
+    return (
+        img[y0, x0] * (1 - fy) * (1 - fx) + img[y0, x0 + 1] * (1 - fy) * fx
+        + img[y0 + 1, x0] * fy * (1 - fx) + img[y0 + 1, x0 + 1] * fy * fx
+    )
+
+
+def test_pyr_down_shape_and_smoothing(rng):
+    img = jnp.asarray(synth_image(rng))
+    down = pyramid.pyr_down(img)
+    assert down.shape == (60, 80)
+    assert float(jnp.abs(down).max()) <= 256.0
+
+
+def test_lk_recovers_known_shift(rng):
+    img0 = synth_image(rng)
+    d = (3.7, -2.4)
+    img1 = shift_image(img0, *d)
+    p0 = pyramid.build_lk_pyramid(jnp.asarray(img0), 4)
+    p1 = pyramid.build_lk_pyramid(jnp.asarray(img1), 4)
+
+    pts = np.stack(np.meshgrid(np.arange(30, 130, 12), np.arange(30, 90, 12)),
+                   -1).reshape(-1, 2).astype(np.float64)
+    valid = np.ones(len(pts), bool)
+    out, status = lk.lk_track(p0, p1, jnp.asarray(pts), jnp.asarray(valid))
+    out = np.asarray(out)
+    status = np.asarray(status)
+    assert status.sum() > len(pts) * 0.8
+    flow = out[status] - pts[status]
+    err = np.linalg.norm(flow - np.asarray(d), axis=-1)
+    assert np.median(err) < 0.25, (np.median(err), flow[:5])
+
+
+def test_lk_large_shift_needs_pyramid(rng):
+    img0 = synth_image(rng)
+    d = (14.0, 9.0)  # ≫ window half-size: only trackable through the pyramid
+    img1 = shift_image(img0, *d)
+    p0 = pyramid.build_lk_pyramid(jnp.asarray(img0), 4)
+    p1 = pyramid.build_lk_pyramid(jnp.asarray(img1), 4)
+    pts = np.stack(np.meshgrid(np.arange(40, 120, 15), np.arange(40, 80, 15)),
+                   -1).reshape(-1, 2).astype(np.float64)
+    out, status = lk.lk_track(p0, p1, jnp.asarray(pts),
+                              jnp.asarray(np.ones(len(pts), bool)))
+    # forward-backward prune, as the tracker does (feature_tracker.cpp:191-196)
+    back, status_b = lk.lk_track(p1, p0, out, status)
+    gap = np.linalg.norm(np.asarray(back) - pts, axis=-1)
+    good = np.asarray(status & status_b) & (gap <= 0.5)
+    out = np.asarray(out)[good]
+    err = np.linalg.norm(out - (pts[good] + np.asarray(d)), axis=-1)
+    assert good.sum() > len(pts) * 0.4
+    assert np.median(err) < 0.5
+
+
+def test_lk_forward_backward_consistency(rng):
+    img0 = synth_image(rng)
+    img1 = shift_image(img0, 2.5, 1.5)
+    p0 = pyramid.build_lk_pyramid(jnp.asarray(img0), 4)
+    p1 = pyramid.build_lk_pyramid(jnp.asarray(img1), 4)
+    pts = np.stack(np.meshgrid(np.arange(30, 130, 20), np.arange(30, 90, 20)),
+                   -1).reshape(-1, 2).astype(np.float64)
+    valid = jnp.ones(len(pts), bool)
+    fwd, s1 = lk.lk_track(p0, p1, jnp.asarray(pts), valid)
+    back, s2 = lk.lk_track(p1, p0, fwd, s1)
+    gap = np.linalg.norm(np.asarray(back) - pts, axis=-1)
+    good = np.asarray(s1 & s2)
+    assert good.sum() > 5
+    assert np.median(gap[good]) < 0.3
+
+
+def test_fundamental_ransac_rejects_outliers(rng):
+    # stereo-like geometry: random 3D points, two cameras
+    n = 120
+    pts3 = rng.uniform([-2, -2, 4], [2, 2, 10], size=(n, 3))
+    R = np.eye(3)
+    t = np.array([0.3, 0.05, 0.02])
+    f, cx, cy = 460.0, 320.0, 240.0
+    uv1 = pts3[:, :2] / pts3[:, 2:] * f + [cx, cy]
+    p2 = (pts3 - t) @ R.T
+    uv2 = p2[:, :2] / p2[:, 2:] * f + [cx, cy]
+    # plant outliers
+    n_out = 25
+    uv2_noisy = uv2.copy()
+    uv2_noisy[:n_out] += rng.uniform(15, 60, size=(n_out, 2)) * rng.choice([-1, 1], (n_out, 2))
+    uv1 += rng.normal(0, 0.2, uv1.shape)
+    uv2_noisy += rng.normal(0, 0.2, uv2.shape)
+
+    key = jax.random.PRNGKey(0)
+    inl, F = ransac.fundamental_ransac(
+        key, jnp.asarray(uv1), jnp.asarray(uv2_noisy),
+        jnp.ones(n, bool), threshold=1.5,
+    )
+    inl = np.asarray(inl)
+    # all planted outliers rejected, most inliers kept
+    assert inl[:n_out].sum() <= 2
+    assert inl[n_out:].sum() > (n - n_out) * 0.85
+
+
+def test_greedy_spacing_properties(rng):
+    n = 200
+    H, W = 100, 140
+    xs = rng.uniform(0, W - 1, n)
+    ys = rng.uniform(0, H - 1, n)
+    pri = rng.uniform(0, 10, n)
+    valid = rng.random(n) > 0.1
+    keep, grid = mask.greedy_spacing(
+        jnp.asarray(pri), jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(valid),
+        H, W, min_dist=10, max_keep=60,
+    )
+    keep = np.asarray(keep)
+    assert keep.sum() > 10
+    assert keep.sum() <= 60
+    assert not np.any(keep & ~valid)
+    # pairwise min distance respected (on rounded coords, like the reference mask)
+    kx = np.round(xs[keep])
+    ky = np.round(ys[keep])
+    d = np.sqrt((kx[:, None] - kx) ** 2 + (ky[:, None] - ky) ** 2)
+    np.fill_diagonal(d, 1e9)
+    assert d.min() > 10 - 1e-6
+
+    # higher-priority feature wins a contested cell
+    xs2 = np.array([50.0, 52.0])
+    ys2 = np.array([50.0, 50.0])
+    keep2, _ = mask.greedy_spacing(
+        jnp.asarray([1.0, 5.0]), jnp.asarray(xs2), jnp.asarray(ys2),
+        jnp.ones(2, bool), H, W, min_dist=10, max_keep=10,
+    )
+    np.testing.assert_array_equal(np.asarray(keep2), [False, True])
