@@ -1,0 +1,142 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from esvio_tpu.core import lie
+from esvio_tpu.imu import preintegration as pre
+from esvio_tpu.solver import window as win
+from esvio_tpu.solver import gauss_newton as gn
+
+from synth import simulate_trajectory, project_landmarks
+
+L_CAP = 64
+N_LM = 40
+BASELINE = 0.10
+
+
+def build_problem(rng, depth_noise=0.05, state_noise=True, obs_noise=0.0):
+    traj = simulate_trajectory(rng)
+    landmarks = np.stack([
+        rng.uniform(-3, 3, N_LM), rng.uniform(-3, 3, N_LM), rng.uniform(3, 9, N_LM),
+    ], -1)
+    ex_p0 = np.zeros(3)
+    ex_q0 = np.array([1.0, 0, 0, 0])
+    ex_p1 = np.array([BASELINE, 0.0, 0.0])
+    ex_q1 = np.array([1.0, 0, 0, 0])
+
+    obs_l, vis_l = project_landmarks(traj, landmarks, ex_p0, ex_q0,
+                                     noise=obs_noise, rng=rng)
+    obs_r, vis_r = project_landmarks(traj, landmarks, ex_p1, ex_q1,
+                                     noise=obs_noise, rng=rng)
+    assert vis_l.all() and vis_r.all()
+
+    # event feature book with ground-truth-derived entries
+    book = win.empty_book(L_CAP, jnp.float64)
+    un = np.zeros((L_CAP, 11, 2))
+    un_r = np.zeros((L_CAP, 11, 2))
+    obs = np.zeros((L_CAP, 11), bool)
+    stereo = np.zeros((L_CAP, 11), bool)
+    un[:N_LM] = np.transpose(obs_l, (1, 0, 2))
+    un_r[:N_LM] = np.transpose(obs_r, (1, 0, 2))
+    obs[:N_LM] = vis_l.T
+    stereo[:N_LM] = vis_r.T
+
+    # GT inverse depth in the start (=0) frame left camera
+    p_cam0 = (landmarks - traj["P"][0]) @ np.asarray(
+        lie.quat_to_rot(jnp.asarray(traj["Q"][0], jnp.float64)))
+    gt_depth = p_cam0[:, 2]
+    inv_depth = np.zeros(L_CAP)
+    inv_depth[:N_LM] = 1.0 / gt_depth * (1 + depth_noise * rng.normal(size=N_LM))
+
+    import dataclasses
+    book = dataclasses.replace(
+        book,
+        un=jnp.asarray(un), un_r=jnp.asarray(un_r),
+        obs=jnp.asarray(obs), stereo=jnp.asarray(stereo),
+        inv_depth=jnp.asarray(inv_depth),
+        depth_valid=jnp.asarray(np.arange(L_CAP) < N_LM),
+        active=jnp.asarray(np.arange(L_CAP) < N_LM),
+        ids=jnp.asarray(np.arange(L_CAP), jnp.int32),
+    )
+
+    # preintegrations per interval
+    params = pre.make_imu_params(dtype=jnp.float64)
+    k = traj["imu_per_frame"]
+    pres = []
+    for i in range(10):
+        sl = slice(i * k, (i + 1) * k + 1)
+        accs = traj["imu_acc"][sl]
+        gyrs = traj["imu_gyr"][sl]
+        dts = np.full(k, traj["dt"])
+        pres.append(pre.preintegrate(
+            jnp.asarray(dts), jnp.asarray(accs[1:]), jnp.asarray(gyrs[1:]),
+            jnp.asarray(accs[0]), jnp.asarray(gyrs[0]),
+            jnp.zeros(3, jnp.float64), jnp.zeros(3, jnp.float64), params))
+    preints = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *pres)
+
+    # window state: ground truth (+ optional noise, frame 0 kept exact)
+    P = traj["P"].copy()
+    Q = traj["Q"].copy()
+    V = traj["V"].copy()
+    if state_noise:
+        P[1:] += rng.normal(0, 0.03, (10, 3))
+        V[1:] += rng.normal(0, 0.03, (10, 3))
+        for i in range(1, 11):
+            dq = np.asarray(lie.quat_exp(jnp.asarray(rng.normal(0, 0.005, 3))))
+            Q[i] = np.asarray(lie.quat_mul(jnp.asarray(Q[i]), jnp.asarray(dq)))
+
+    state = win.WindowState(
+        P=jnp.asarray(P), Q=jnp.asarray(Q), V=jnp.asarray(V),
+        Ba=jnp.zeros((11, 3), jnp.float64), Bg=jnp.zeros((11, 3), jnp.float64),
+        ex_p=jnp.asarray(np.stack([ex_p0, ex_p0, ex_p1, ex_p1])),
+        ex_q=jnp.asarray(np.stack([ex_q0, ex_q0, ex_q1, ex_q1])),
+        td=jnp.asarray(0.0, jnp.float64),
+    )
+    empty = win.empty_book(8, jnp.float64)
+    return traj, landmarks, state, empty, book, preints, gt_depth
+
+
+def test_zero_residual_at_ground_truth(rng):
+    traj, lm, state, b_img, b_evt, preints, gtd = build_problem(
+        rng, depth_noise=0.0, state_noise=False)
+    J, r, _ = gn.linearize(
+        state, b_img, b_evt, preints, jnp.ones(10, bool), gn.empty_prior(jnp.float64),
+        jnp.asarray(traj["g"]),
+    )
+    assert float(jnp.max(jnp.abs(r))) < 1e-6, float(jnp.max(jnp.abs(r)))
+    assert np.isfinite(np.asarray(J)).all()
+
+
+def test_solver_recovers_perturbed_states(rng):
+    traj, lm, state, b_img, b_evt, preints, gtd = build_problem(rng)
+    st, bi, be, costs = gn.solve_window(
+        state, b_img, b_evt, preints, jnp.ones(10, bool),
+        gn.empty_prior(jnp.float64), jnp.asarray(traj["g"]), iters=8)
+    costs = np.asarray(costs)
+    assert costs[-1] < costs[0] * 1e-4, costs
+
+    # remove the unobservable 4-DoF gauge (yaw + position), like double2vector3
+    st = win.gauge_fix(st, jnp.asarray(traj["P"][0]), jnp.asarray(traj["Q"][0]))
+    P = np.asarray(st.P)
+    err_p = np.linalg.norm(P - traj["P"], axis=-1)
+    assert err_p.max() < 2e-3, err_p
+
+    inv_d = np.asarray(be.inv_depth)[:N_LM]
+    rel = np.abs(1.0 / inv_d - gtd) / gtd
+    assert rel.max() < 5e-3, rel.max()
+
+
+def test_solver_with_observation_noise(rng):
+    traj, lm, state, b_img, b_evt, preints, gtd = build_problem(
+        rng, obs_noise=1.0 / 460.0)
+    st, bi, be, costs = gn.solve_window(
+        state, b_img, b_evt, preints, jnp.ones(10, bool),
+        gn.empty_prior(jnp.float64), jnp.asarray(traj["g"]), iters=8)
+    st = win.gauge_fix(st, jnp.asarray(traj["P"][0]), jnp.asarray(traj["Q"][0]))
+    P = np.asarray(st.P)
+    err_p = np.linalg.norm(P - traj["P"], axis=-1)
+    # 1 px noise at 3-9 m depth leaves a weakly-observable constant-velocity
+    # mode (~0.5 px parallax); absolute error tolerance reflects that
+    assert err_p.max() < 0.12, err_p.max()
+    rel = np.linalg.norm(np.diff(P, axis=0) - np.diff(traj["P"], axis=0), axis=-1)
+    assert rel.max() < 0.02, rel.max()
