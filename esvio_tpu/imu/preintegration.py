@@ -186,6 +186,19 @@ def preintegrate(dts, accs, gyrs, acc0, gyr0, ba, bg, params: ImuParams,
     )
 
 
+@jax.jit
+def preintegrate_batch(dts, accs, gyrs, acc0, gyr0, ba, bg,
+                       params: ImuParams, mask) -> Preintegrated:
+    """vmapped `preintegrate` over a leading interval axis (one jit call).
+
+    dts: (K, N); accs/gyrs: (K, N, 3); acc0/gyr0/ba/bg: (K, 3); mask: (K, N).
+    """
+    return jax.vmap(
+        lambda d, a, w, a0, w0, ba_, bg_, m: preintegrate(
+            d, a, w, a0, w0, ba_, bg_, params, m)
+    )(dts, accs, gyrs, acc0, gyr0, ba, bg, mask)
+
+
 def evaluate(pre: Preintegrated, g,
              Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj):
     """15-dim preintegration residual (integration_base.h:159-185)."""

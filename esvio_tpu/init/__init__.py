@@ -1,0 +1,1 @@
+from esvio_tpu.init import alignment, pnp  # noqa: F401

@@ -49,6 +49,7 @@ def imu_residual(Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj,
 
 def imu_residual_jac(Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, pre_state, g):
     """Residual + Jacobians w.r.t. (δpose_i(6), δsb_i(9), δpose_j(6), δsb_j(9))."""
+    sqrt_info = imu_sqrt_info(pre_state.covariance)  # constant w.r.t. δ
 
     def f(delta):
         dpi = delta[0:6]
@@ -57,11 +58,12 @@ def imu_residual_jac(Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, pre_state, g):
         dsj = delta[21:30]
         Qi_ = lie.quat_mul(Qi, lie.delta_q(dpi[3:6]))
         Qj_ = lie.quat_mul(Qj, lie.delta_q(dpj[3:6]))
-        return imu_residual(
+        r = pre.evaluate(
+            pre_state, g,
             Pi + dpi[0:3], Qi_, Vi + dsi[0:3], Bai + dsi[3:6], Bgi + dsi[6:9],
             Pj + dpj[0:3], Qj_, Vj + dsj[0:3], Baj + dsj[3:6], Bgj + dsj[6:9],
-            pre_state, g,
         )
+        return sqrt_info @ r
 
     zero = jnp.zeros(30, dtype=Pi.dtype)
     r = f(zero)

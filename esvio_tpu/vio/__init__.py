@@ -1,0 +1,1 @@
+from esvio_tpu.vio import feature_manager  # noqa: F401

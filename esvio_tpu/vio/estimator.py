@@ -1,0 +1,474 @@
+"""Sliding-window VIO estimator — the state machine around the solver.
+
+Re-designs the reference Estimator + estimator node hot loop
+(/root/reference/esvio_estimator/src/estimator.cpp:204-412, 2650-2771;
+stereo_estimator_node.cpp:263-454) as a host-side orchestrator over jitted
+pure kernels:
+
+  packets → book insertion + parallax keyframe test → (INITIAL: stereo-PnP
+  bootstrap + gyro-bias/gravity alignment) → triangulation → batched GN solve
+  → gauge fix → failure detection → marginalization → window slide.
+
+Host Python handles only control flow (the reference does the same with
+if/else on flags); every numeric kernel is jit-compiled with static shapes.
+
+Differences vs the reference, by design:
+  * initialization visual odometry uses stereo-depth PnP chaining instead of
+    GlobalSFM's 5-pt + BA (same role; SFM path is used only when stereo depth
+    is unavailable — mono init is future work, estimator.cpp:415-558).
+  * features without valid depth are excluded from the problem instead of
+    entering with INIT_DEPTH = -1 (they are recovered by triangulation later).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from esvio_tpu.core import lie
+from esvio_tpu.imu import preintegration as pre
+from esvio_tpu.init import alignment, pnp
+from esvio_tpu.solver import gauss_newton as gn
+from esvio_tpu.solver import marginalization as marg
+from esvio_tpu.solver import window as win
+from esvio_tpu.vio import feature_manager as fm
+
+WINDOW = win.WINDOW
+
+MARGIN_OLD = 0
+MARGIN_SECOND_NEW = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class EstimatorConfig:
+    mode: str = "esvio"            # "esvio" (events+images) or "esio" (events only)
+    evt_capacity: int = 128
+    img_capacity: int = 128
+    imu_capacity: int = 512        # IMU samples per window interval (merged caps)
+    min_parallax: float = 10.0 / win.FOCAL   # keyframe gate (esvio.yaml:167)
+    g_norm: float = 9.80766
+    solver_iters: int = 8
+    cauchy_c: float = 1.0
+    min_track_for_kf: int = 20     # last_track_num < 20 ⇒ keyframe (:416)
+    dtype: type = jnp.float64
+
+
+@dataclasses.dataclass
+class Output:
+    t: float
+    P: np.ndarray
+    Q: np.ndarray
+    V: np.ndarray
+    solver_flag: str
+    marg_flag: int
+
+
+def _stack_preints(pres):
+    return jax.tree_util.tree_map(lambda *x: jnp.stack(x), *pres)
+
+
+class Estimator:
+    """Host-side estimator holding device pytrees + numpy IMU buffers."""
+
+    def __init__(self, cfg: EstimatorConfig, ex_p, ex_q,
+                 imu_params: Optional[pre.ImuParams] = None):
+        self.cfg = cfg
+        dt = cfg.dtype
+        self.ws = win.init_window(dt)
+        self.ws = dataclasses.replace(
+            self.ws, ex_p=jnp.asarray(ex_p, dt), ex_q=jnp.asarray(ex_q, dt))
+        self.book_img = win.empty_book(cfg.img_capacity, dt)
+        self.book_evt = win.empty_book(cfg.evt_capacity, dt)
+        self.prior = gn.empty_prior(dt)
+        self.imu_params = imu_params or pre.make_imu_params(
+            g_norm=cfg.g_norm, dtype=dt)
+        self.g = jnp.asarray([0.0, 0.0, cfg.g_norm], dt)
+
+        self.frame_count = 0
+        self.solver_flag = "INITIAL"
+        self.timestamps = np.zeros(win.N_STATES)
+        # IMU ring buffers per interval (interval k: between frame k-1 and k)
+        C = cfg.imu_capacity
+        self.imu_dt = np.zeros((win.N_STATES, C))
+        self.imu_acc = np.zeros((win.N_STATES, C, 3))
+        self.imu_gyr = np.zeros((win.N_STATES, C, 3))
+        self.imu_n = np.zeros(win.N_STATES, np.int32)
+        self.acc0 = np.zeros(3)
+        self.gyr0 = np.zeros(3)
+        self.first_imu = False
+        self.last_marg = MARGIN_OLD
+        self.failures = 0
+
+        # stereo relative extrinsics per modality (cam-left → cam-right)
+        self._rrl = {}
+        self._trl = {}
+        ex_q = np.asarray(ex_q, np.float64)
+        ex_p = np.asarray(ex_p, np.float64)
+        for name, (l, r) in (("img", (0, 2)), ("evt", (1, 3))):
+            Rl = np.asarray(lie.quat_to_rot(jnp.asarray(ex_q[l])))
+            Rr = np.asarray(lie.quat_to_rot(jnp.asarray(ex_q[r])))
+            # x_r = R_rl x_l + t_rl with body_T_cam extrinsics
+            Rrl = Rr.T @ Rl
+            Trl = Rr.T @ (ex_p[l] - ex_p[r])
+            self._rrl[name] = jnp.asarray(Rrl, dt)
+            self._trl[name] = jnp.asarray(Trl, dt)
+
+    # ------------------------------------------------------------------ IMU
+    def process_imu(self, dt: float, acc, gyr):
+        """Buffer one IMU sample into the current interval (processIMU)."""
+        if not self.first_imu:
+            self.first_imu = True
+            self.acc0 = np.asarray(acc, float)
+            self.gyr0 = np.asarray(gyr, float)
+            return
+        k = self.frame_count
+        n = self.imu_n[k]
+        if n < self.cfg.imu_capacity:
+            self.imu_dt[k, n] = dt
+            self.imu_acc[k, n] = acc
+            self.imu_gyr[k, n] = gyr
+            self.imu_n[k] = n + 1
+        self.acc0 = np.asarray(acc, float)
+        self.gyr0 = np.asarray(gyr, float)
+
+    def _interval_first_sample(self, k):
+        """acc_0/gyr_0 linearization sample for interval k: last sample of k-1."""
+        if k == 0 or self.imu_n[k - 1] == 0:
+            if self.imu_n[k] > 0:
+                return self.imu_acc[k, 0], self.imu_gyr[k, 0]
+            return np.zeros(3), np.zeros(3)
+        m = self.imu_n[k - 1] - 1
+        return self.imu_acc[k - 1, m], self.imu_gyr[k - 1, m]
+
+    def _preintegrate_all(self, ba=None, bg=None):
+        """Preintegrate all 10 window intervals (k=1..10 → slots 0..9)."""
+        dt = self.cfg.dtype
+        a0s = np.zeros((WINDOW, 3))
+        g0s = np.zeros((WINDOW, 3))
+        for k in range(1, win.N_STATES):
+            a0s[k - 1], g0s[k - 1] = self._interval_first_sample(k)
+        mask = np.arange(self.cfg.imu_capacity)[None, :] < self.imu_n[1:, None]
+        if ba is None:
+            ba_all = self.ws.Ba[:WINDOW]
+        else:
+            ba_all = jnp.tile(jnp.asarray(ba, dt)[None], (WINDOW, 1))
+        if bg is None:
+            bg_all = self.ws.Bg[:WINDOW]
+        else:
+            bg_all = jnp.tile(jnp.asarray(bg, dt)[None], (WINDOW, 1))
+        return pre.preintegrate_batch(
+            jnp.asarray(self.imu_dt[1:], dt), jnp.asarray(self.imu_acc[1:], dt),
+            jnp.asarray(self.imu_gyr[1:], dt), jnp.asarray(a0s, dt),
+            jnp.asarray(g0s, dt), ba_all, bg_all, self.imu_params,
+            jnp.asarray(mask))
+
+    def _propagate_new_frame(self, k):
+        """Dead-reckon pose of frame k from frame k-1 via interval-k IMU."""
+        if k == 0 or self.imu_n[k] == 0:
+            if k > 0:
+                self.ws = dataclasses.replace(
+                    self.ws,
+                    P=self.ws.P.at[k].set(self.ws.P[k - 1]),
+                    Q=self.ws.Q.at[k].set(self.ws.Q[k - 1]),
+                    V=self.ws.V.at[k].set(self.ws.V[k - 1]),
+                    Ba=self.ws.Ba.at[k].set(self.ws.Ba[k - 1]),
+                    Bg=self.ws.Bg.at[k].set(self.ws.Bg[k - 1]),
+                )
+            return
+        dt = self.cfg.dtype
+        a0, g0 = self._interval_first_sample(k)
+        n = int(self.imu_n[k])
+        mask = np.arange(self.cfg.imu_capacity) < n
+        p = pre.preintegrate_batch(
+            jnp.asarray(self.imu_dt[k][None], dt),
+            jnp.asarray(self.imu_acc[k][None], dt),
+            jnp.asarray(self.imu_gyr[k][None], dt), jnp.asarray(a0[None], dt),
+            jnp.asarray(g0[None], dt), self.ws.Ba[k - 1][None],
+            self.ws.Bg[k - 1][None], self.imu_params, jnp.asarray(mask[None]))
+        p = jax.tree_util.tree_map(lambda x: x[0], p)
+        Qk = lie.quat_normalize(lie.quat_mul(self.ws.Q[k - 1], p.delta_q))
+        Vk = self.ws.V[k - 1] + lie.quat_rotate(self.ws.Q[k - 1], p.delta_v) \
+            - self.g * p.sum_dt
+        Pk = self.ws.P[k - 1] + self.ws.V[k - 1] * p.sum_dt \
+            + lie.quat_rotate(self.ws.Q[k - 1], p.delta_p) \
+            - 0.5 * self.g * p.sum_dt ** 2
+        self.ws = dataclasses.replace(
+            self.ws,
+            P=self.ws.P.at[k].set(Pk), Q=self.ws.Q.at[k].set(Qk),
+            V=self.ws.V.at[k].set(Vk),
+            Ba=self.ws.Ba.at[k].set(self.ws.Ba[k - 1]),
+            Bg=self.ws.Bg.at[k].set(self.ws.Bg[k - 1]),
+        )
+
+    # ------------------------------------------------------------- features
+    def _insert(self, book, packet, frame_idx):
+        dt = self.cfg.dtype
+        return fm.insert_packet(
+            book, jnp.asarray(packet.ids, jnp.int32), jnp.asarray(packet.valid),
+            jnp.asarray(packet.un, dt), jnp.asarray(packet.vel, dt),
+            jnp.asarray(packet.right_valid), jnp.asarray(packet.un_right, dt),
+            jnp.asarray(packet.vel_right, dt), self.ws.td, frame_idx)
+
+    def process_packets(self, t: float, pkt_evt, pkt_img=None) -> Output:
+        """Main measurement step (Stereo_processVisual, estimator.cpp:204-308)."""
+        cfg = self.cfg
+        fc = self.frame_count
+        self.timestamps[fc] = t
+        if fc > 0:
+            self._propagate_new_frame(fc)
+
+        self.book_evt, n_trk_e = self._insert(self.book_evt, pkt_evt, fc)
+        if pkt_img is not None:
+            self.book_img, n_trk_i = self._insert(self.book_img, pkt_img, fc)
+            n_tracked = int(n_trk_i)
+            par_book = self.book_img
+        else:
+            n_tracked = int(n_trk_e)
+            par_book = self.book_evt
+
+        # keyframe test (stereo_addFeatureCheckParallax :416-425)
+        if fc < 2 or n_tracked < cfg.min_track_for_kf:
+            marg_flag = MARGIN_OLD
+        else:
+            mean_par, num = fm.mean_parallax(par_book, fc)
+            if int(num) == 0 or float(mean_par) >= cfg.min_parallax:
+                marg_flag = MARGIN_OLD
+            else:
+                marg_flag = MARGIN_SECOND_NEW
+        self.last_marg = marg_flag
+
+        if self.solver_flag == "INITIAL":
+            if fc < WINDOW:
+                self.frame_count += 1
+                return self._output(t, marg_flag)
+            ok = self._try_initialize()
+            if not ok:
+                self._slide(MARGIN_OLD, skip_marg=True)
+                return self._output(t, marg_flag)
+            self.solver_flag = "NON_LINEAR"
+
+        # triangulate + solve + marginalize + slide
+        self._triangulate()
+        preints = self._preintegrate_all()
+        imu_valid = self._imu_valid()
+        ref_p0, ref_q0 = self.ws.P[0], self.ws.Q[0]
+        self.ws, self.book_img, self.book_evt, costs = gn.solve_window(
+            self.ws, self.book_img, self.book_evt, preints, imu_valid,
+            self.prior, self.g, iters=cfg.solver_iters, cauchy_c=cfg.cauchy_c)
+        self.ws = win.gauge_fix(self.ws, ref_p0, ref_q0)
+        self.book_img = fm.remove_failures(self.book_img)
+        self.book_evt = fm.remove_failures(self.book_evt)
+        self._failure_detection(n_tracked)
+
+        if marg_flag == MARGIN_OLD:
+            self.prior = marg.marginalize_old(
+                self.ws, self.book_img, self.book_evt, preints, imu_valid,
+                self.prior, self.g, cfg.cauchy_c)
+        else:
+            if bool(self.prior.valid):
+                self.prior = marg.marginalize_second_new(self.prior)
+        self._slide(marg_flag)
+        return self._output(t, marg_flag)
+
+    # ------------------------------------------------------- initialization
+    def _try_initialize(self) -> bool:
+        """Stereo-depth PnP-chain bootstrap + visual-IMU alignment
+        (initialStructureStereo, estimator.cpp:706-856 + :1170-1264)."""
+        cfg = self.cfg
+        dt = cfg.dtype
+        book = self.book_evt if cfg.mode == "esio" or not bool(
+            jnp.any(self.book_img.active)) else self.book_img
+        ex_idx = 1 if book is self.book_evt else 0
+        name = "evt" if book is self.book_evt else "img"
+        Rex = lie.quat_to_rot(self.ws.ex_q[ex_idx])
+        tex = self.ws.ex_p[ex_idx]
+
+        preints = self._preintegrate_all(ba=np.zeros(3), bg=np.zeros(3))
+
+        # excitation check (:709-735) — warn only, as the reference proceeds
+        dv = np.asarray(preints.delta_v)
+        sdt = np.maximum(np.asarray(preints.sum_dt), 1e-6)
+        g_est = np.linalg.norm(dv / sdt[:, None], axis=-1)
+        if g_est.var() < 0.25:
+            pass  # low excitation — continue anyway (reference logs only)
+
+        # per-frame instant stereo depths (anchored at each frame)
+        un = np.asarray(book.un)
+        un_r = np.asarray(book.un_r)
+        obs = np.asarray(book.obs)
+        stereo = np.asarray(book.stereo)
+        active = np.asarray(book.active)
+        Rrl = np.asarray(self._rrl[name])
+        Trl = np.asarray(self._trl[name])
+
+        def stereo_depth(l, f):
+            p0 = un[l, f]
+            p1 = un_r[l, f]
+            if p0[0] < p1[0]:
+                return -1.0
+            A = np.zeros((4, 4))
+            P0 = np.hstack([np.eye(3), np.zeros((3, 1))])
+            P1 = np.hstack([Rrl, Trl[:, None]])
+            A[0] = p0[0] * P0[2] - P0[0]
+            A[1] = p0[1] * P0[2] - P0[1]
+            A[2] = p1[0] * P1[2] - P1[0]
+            A[3] = p1[1] * P1[2] - P1[1]
+            v = np.linalg.svd(A)[2][-1]
+            z = v[2] / v[3]
+            if not (1.0 < z < 7.0):
+                return -1.0
+            return z
+
+        # chain camera poses with PnP frame-to-frame
+        R_wc = [np.eye(3)]
+        t_wc = [np.zeros(3)]
+        for f in range(1, win.N_STATES):
+            pts_w, obs2 = [], []
+            for l in np.nonzero(active)[0]:
+                if not (obs[l, f - 1] and obs[l, f] and stereo[l, f - 1]):
+                    continue
+                z = stereo_depth(l, f - 1)
+                if z <= 0:
+                    continue
+                pc = np.array([un[l, f - 1, 0] * z, un[l, f - 1, 1] * z, z])
+                pts_w.append(R_wc[f - 1] @ pc + t_wc[f - 1])
+                obs2.append(un[l, f])
+            if len(pts_w) < 6:
+                return False
+            pts_w = np.asarray(pts_w)
+            obs2 = np.asarray(obs2)
+            R0 = R_wc[f - 1].T  # world→cam seed
+            t0 = t_wc[f - 1]
+            R, tt, err = pnp.pnp_gn(
+                jnp.asarray(pts_w, dt), jnp.asarray(obs2, dt),
+                jnp.ones(len(pts_w), bool), jnp.asarray(R0, dt),
+                jnp.asarray(t0, dt), iters=15)
+            if float(err) > 5.0 / win.FOCAL:
+                return False
+            R_wc.append(np.asarray(R).T)
+            t_wc.append(np.asarray(tt))
+
+        # body rotations / camera centers for alignment
+        Rex_n = np.asarray(Rex)
+        tex_n = np.asarray(tex)
+        Rs_body = np.stack([Rc @ Rex_n.T for Rc in R_wc])
+        T_cam = np.stack(t_wc)
+
+        # gyro bias (solveGyroscopeBias) + repropagate
+        dbg = alignment.solve_gyroscope_bias(
+            jnp.asarray(Rs_body, dt),
+            preints.jacobian[:, pre.O_R:pre.O_R + 3, pre.O_BG:pre.O_BG + 3],
+            preints.delta_q)
+        bg = np.asarray(dbg)
+        preints = self._preintegrate_all(ba=np.zeros(3), bg=bg)
+
+        ok, g_b0, v_body = alignment.linear_alignment_with_depth(
+            jnp.asarray(Rs_body, dt), jnp.asarray(T_cam, dt),
+            preints.delta_p, preints.delta_v, preints.sum_dt,
+            jnp.asarray(tex_n, dt), cfg.g_norm)
+        if not bool(ok):
+            return False
+
+        # gravity-align the world frame (visualInitialAlignWithDepth :1197-1262)
+        R0 = np.asarray(lie.g2R(g_b0))
+        yaw = np.asarray(lie.rot_to_ypr(jnp.asarray(
+            R0 @ Rs_body[0], dt)))[0]
+        R0 = np.asarray(lie.ypr_to_rot(jnp.asarray([-yaw, 0.0, 0.0], dt))) @ R0
+
+        Rs_w = np.einsum("ij,fjk->fik", R0, Rs_body)
+        P_w = (T_cam @ R0.T) - np.einsum("fij,j->fi", Rs_w, tex_n)
+        P_w = P_w - P_w[0]
+        V_w = np.einsum("fij,fj->fi", Rs_w, np.asarray(v_body))
+
+        Q_w = np.asarray(lie.rot_to_quat(jnp.asarray(Rs_w, dt)))
+        self.ws = dataclasses.replace(
+            self.ws,
+            P=jnp.asarray(P_w, dt), Q=jnp.asarray(Q_w, dt),
+            V=jnp.asarray(V_w, dt),
+            Ba=jnp.zeros((win.N_STATES, 3), dt),
+            Bg=jnp.tile(jnp.asarray(bg, dt), (win.N_STATES, 1)),
+        )
+        # reset depths; they are re-triangulated with the aligned poses
+        self.book_img = dataclasses.replace(
+            self.book_img,
+            depth_valid=jnp.zeros_like(self.book_img.depth_valid),
+            inv_depth=jnp.zeros_like(self.book_img.inv_depth))
+        self.book_evt = dataclasses.replace(
+            self.book_evt,
+            depth_valid=jnp.zeros_like(self.book_evt.depth_valid),
+            inv_depth=jnp.zeros_like(self.book_evt.inv_depth))
+        return True
+
+    # ------------------------------------------------------------- helpers
+    def _triangulate(self):
+        self.book_img = fm.triangulate_stereo_instant(
+            self.book_img, self._rrl["img"], self._trl["img"])
+        self.book_img = fm.triangulate_multiview(self.book_img, self.ws, 0)
+        self.book_evt = fm.triangulate_stereo_instant(
+            self.book_evt, self._rrl["evt"], self._trl["evt"])
+        self.book_evt = fm.triangulate_multiview(self.book_evt, self.ws, 1)
+
+    def _imu_valid(self):
+        sums = np.array([self.imu_dt[k, :self.imu_n[k]].sum()
+                         for k in range(1, win.N_STATES)])
+        return jnp.asarray((sums > 0) & (sums <= 10.0))
+
+    def _failure_detection(self, n_tracked):
+        """Soft bias/velocity reset (failureDetection :1793-1825)."""
+        ba = np.asarray(self.ws.Ba[WINDOW])
+        bg = np.asarray(self.ws.Bg[WINDOW])
+        if np.linalg.norm(ba) > 2.5 or np.linalg.norm(bg) > 1.0:
+            self.failures += 1
+            self.ws = dataclasses.replace(
+                self.ws,
+                Ba=jnp.zeros_like(self.ws.Ba), Bg=jnp.zeros_like(self.ws.Bg),
+                V=jnp.zeros_like(self.ws.V))
+
+    def _slide(self, marg_flag, skip_marg=False):
+        """Window slide (slideWindow, estimator.cpp:2650-2771)."""
+        if marg_flag == MARGIN_OLD:
+            marg_P, marg_Q = self.ws.P[0], self.ws.Q[0]
+            roll = lambda x: jnp.concatenate([x[1:], x[-1:]], axis=0)
+            self.ws = dataclasses.replace(
+                self.ws, P=roll(self.ws.P), Q=roll(self.ws.Q), V=roll(self.ws.V),
+                Ba=roll(self.ws.Ba), Bg=roll(self.ws.Bg))
+            self.timestamps[:-1] = self.timestamps[1:]
+            self.imu_dt[:-1] = self.imu_dt[1:]
+            self.imu_acc[:-1] = self.imu_acc[1:]
+            self.imu_gyr[:-1] = self.imu_gyr[1:]
+            self.imu_n[:-1] = self.imu_n[1:]
+            self.imu_n[-1] = 0
+            self.book_img = fm.slide_old(
+                self.book_img, marg_P, marg_Q, self.ws.P[0], self.ws.Q[0],
+                self.ws.ex_p[0], self.ws.ex_q[0])
+            self.book_evt = fm.slide_old(
+                self.book_evt, marg_P, marg_Q, self.ws.P[0], self.ws.Q[0],
+                self.ws.ex_p[1], self.ws.ex_q[1])
+        else:
+            k = WINDOW
+            # merge IMU interval k into k-1... slot k-1 takes frame k state
+            n9, n10 = self.imu_n[k - 1], self.imu_n[k]
+            take = min(int(n10), self.cfg.imu_capacity - int(n9))
+            self.imu_dt[k - 1, n9:n9 + take] = self.imu_dt[k, :take]
+            self.imu_acc[k - 1, n9:n9 + take] = self.imu_acc[k, :take]
+            self.imu_gyr[k - 1, n9:n9 + take] = self.imu_gyr[k, :take]
+            self.imu_n[k - 1] = n9 + take
+            self.imu_n[k] = 0
+            self.timestamps[k - 1] = self.timestamps[k]
+            sh = lambda x: x.at[k - 1].set(x[k])
+            self.ws = dataclasses.replace(
+                self.ws, P=sh(self.ws.P), Q=sh(self.ws.Q), V=sh(self.ws.V),
+                Ba=sh(self.ws.Ba), Bg=sh(self.ws.Bg))
+            self.book_img = fm.slide_second_new(self.book_img, win.N_STATES - 1)
+            self.book_evt = fm.slide_second_new(self.book_evt, win.N_STATES - 1)
+        # frame_count stays at WINDOW once the window is full
+
+    def _output(self, t, marg_flag) -> Output:
+        k = min(self.frame_count, WINDOW)
+        return Output(
+            t=t, P=np.asarray(self.ws.P[k]), Q=np.asarray(self.ws.Q[k]),
+            V=np.asarray(self.ws.V[k]), solver_flag=self.solver_flag,
+            marg_flag=marg_flag)

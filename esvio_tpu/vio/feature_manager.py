@@ -1,0 +1,305 @@
+"""Feature book maintenance: insertion, parallax keyframe test, triangulation,
+window-slide shifts — pure functions on `FeatureBook` pytrees.
+
+Re-designs the reference FeatureManager
+(/root/reference/esvio_estimator/src/feature_manager.cpp): the per-id C++
+lists become capacity+mask lanes; every operation below cites the member it
+replaces.  All functions are jit-friendly (static shapes, no data-dependent
+python control flow).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from esvio_tpu.core import lie
+from esvio_tpu.solver.window import (
+    FOCAL, N_STATES, WINDOW, FeatureBook, WindowState, start_frame, used_num,
+)
+
+INIT_DEPTH = -1.0   # parameters.cpp (INIT_DEPTH): invalid-depth sentinel
+
+
+# ---------------------------------------------------------------------------
+# observation insertion (stereo_addFeatureCheckParallax :314-425)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("frame_idx",))
+def insert_packet(book: FeatureBook, ids, valid, un, vel, right_valid, un_r,
+                  vel_r, td, frame_idx: int):
+    """Insert one tracker packet into window slot `frame_idx`.
+
+    Features with known ids update their lane; new ids allocate free lanes
+    (oldest-free-first).  Returns (book, n_tracked) where n_tracked counts
+    features that extended an existing lane (reference last_track_num).
+    """
+    L = book.ids.shape[0]
+    P = ids.shape[0]
+
+    # match packet ids against lanes
+    eq = (book.ids[:, None] == ids[None, :]) & book.active[:, None] & valid[None, :]
+    lane_of = jnp.argmax(eq, axis=0)                   # (P,) candidate lane
+    matched = jnp.any(eq, axis=0)                      # (P,)
+    n_tracked = jnp.sum(matched & valid)
+
+    # allocate free lanes for unmatched features
+    free = ~book.active
+    free_order = jnp.argsort(~free, stable=True)       # free lanes first
+    need = (~matched) & valid
+    alloc_rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+    n_free = jnp.sum(free)
+    can_alloc = need & (alloc_rank < n_free)
+    alloc_lane = free_order[jnp.clip(alloc_rank, 0, L - 1)]
+
+    lane = jnp.where(matched, lane_of, alloc_lane)
+    write = (matched | can_alloc) & valid
+    lane_safe = jnp.where(write, lane, 0)
+
+    def upd(arr, valnew):
+        return arr.at[lane_safe, frame_idx].set(
+            jnp.where(write[..., None] if valnew.ndim > 1 else write,
+                      valnew, arr[lane_safe, frame_idx]))
+
+    book = dataclasses.replace(
+        book,
+        un=upd(book.un, un), vel=upd(book.vel, vel),
+        un_r=upd(book.un_r, un_r), vel_r=upd(book.vel_r, vel_r),
+        obs=book.obs.at[lane_safe, frame_idx].set(
+            jnp.where(write, True, book.obs[lane_safe, frame_idx])),
+        stereo=book.stereo.at[lane_safe, frame_idx].set(
+            jnp.where(write & right_valid, True,
+                      book.stereo[lane_safe, frame_idx])),
+        td_obs=book.td_obs.at[lane_safe, frame_idx].set(
+            jnp.where(write, td, book.td_obs[lane_safe, frame_idx])),
+        ids=book.ids.at[lane_safe].set(
+            jnp.where(write, ids, book.ids[lane_safe])),
+        active=book.active.at[lane_safe].set(
+            jnp.where(write, True, book.active[lane_safe])),
+        inv_depth=book.inv_depth.at[lane_safe].set(
+            jnp.where(write & ~matched, 0.0, book.inv_depth[lane_safe])),
+        depth_valid=book.depth_valid.at[lane_safe].set(
+            jnp.where(write & ~matched, False, book.depth_valid[lane_safe])),
+    )
+    return book, n_tracked
+
+
+@functools.partial(jax.jit, static_argnames=("frame_count",))
+def mean_parallax(book: FeatureBook, frame_count: int):
+    """Average parallax between frames fc-2 and fc-1 over long tracks.
+
+    compensatedParallax2 (:1103-1171) with the identity compensation the
+    reference actually uses.  Returns (parallax_mean, parallax_num).
+    """
+    if frame_count < 2:
+        return jnp.asarray(0.0, book.un.dtype), jnp.asarray(0, jnp.int32)
+    i, j = frame_count - 2, frame_count - 1
+    s = start_frame(book)
+    ok = book.active & book.obs[:, i] & book.obs[:, j] & (s <= i)
+    du = book.un[:, i, 0] - book.un[:, j, 0]
+    dv = book.un[:, i, 1] - book.un[:, j, 1]
+    par = jnp.sqrt(du * du + dv * dv)
+    num = jnp.sum(ok)
+    mean = jnp.sum(jnp.where(ok, par, 0.0)) / jnp.maximum(num, 1)
+    return mean, num
+
+
+# ---------------------------------------------------------------------------
+# triangulation (:5-121 getDepth, :809-948)
+# ---------------------------------------------------------------------------
+
+def _dlt_two_view(pose0, pose1, p0, p1):
+    """4-row DLT (triangulatePoint :775-791). pose: (3,4) projection."""
+    A = jnp.stack([
+        p0[0] * pose0[2] - pose0[0],
+        p0[1] * pose0[2] - pose0[1],
+        p1[0] * pose1[2] - pose1[0],
+        p1[1] * pose1[2] - pose1[1],
+    ])
+    _, _, vt = jnp.linalg.svd(A)
+    v = vt[-1]
+    return v[:3] / v[3]
+
+
+@jax.jit
+def triangulate_stereo_instant(book: FeatureBook, Rrl, Trl):
+    """Per-feature instant stereo depth at the start frame with the reference
+    gates (getDepth :5-121): disparity sign, depth ∈ (1, 7) m, right depth > 1,
+    reprojection error ≤ 2/FOCAL on both views.
+    """
+    dtype = book.un.dtype
+    s = start_frame(book)
+    L = book.un.shape[0]
+    has_stereo0 = jnp.take_along_axis(book.stereo, s[:, None], 1)[:, 0]
+    p0 = jnp.take_along_axis(book.un, s[:, None, None].repeat(2, 2), 1)[:, 0]
+    p1 = jnp.take_along_axis(book.un_r, s[:, None, None].repeat(2, 2), 1)[:, 0]
+
+    pose0 = jnp.concatenate([jnp.eye(3, dtype=dtype), jnp.zeros((3, 1), dtype)], 1)
+    pose1 = jnp.concatenate([Rrl.astype(dtype), Trl.astype(dtype)[:, None]], 1)
+
+    def one(pa, pb):
+        return _dlt_two_view(pose0, pose1, pa, pb)
+
+    pt3 = jax.vmap(one)(p0, p1)
+    depth = pt3[:, 2]
+
+    proj0 = pt3[:, :2] / jnp.where(jnp.abs(depth) > 1e-9, depth, 1e-9)[:, None]
+    pt_r = pt3 @ Rrl.T + Trl
+    zr = pt_r[:, 2]
+    proj1 = pt_r[:, :2] / jnp.where(jnp.abs(zr) > 1e-9, zr, 1e-9)[:, None]
+    err0 = jnp.linalg.norm(proj0 - p0, axis=-1)
+    err1 = jnp.linalg.norm(proj1 - p1, axis=-1)
+
+    good = (
+        has_stereo0 & book.active & (p0[:, 0] >= p1[:, 0])
+        & (depth > 1.0) & (depth < 7.0) & (zr > 1.0)
+        & (err0 <= 2.0 / FOCAL) & (err1 <= 2.0 / FOCAL)
+    )
+    take = good & ~book.depth_valid
+    inv_depth = jnp.where(take, 1.0 / jnp.maximum(depth, 1e-6), book.inv_depth)
+    return dataclasses.replace(
+        book, inv_depth=inv_depth, depth_valid=book.depth_valid | take)
+
+
+@functools.partial(jax.jit, static_argnames=("ex_idx",))
+def triangulate_multiview(book: FeatureBook, state: WindowState, ex_idx: int):
+    """Masked multi-view SVD triangulation (stereo_triangulate :822-877)."""
+    dtype = book.un.dtype
+    L = book.un.shape[0]
+    s = start_frame(book)
+    gate = book.active & (used_num(book) >= 2) & (s < WINDOW - 2) \
+        & ~book.depth_valid
+
+    Rws = lie.quat_to_rot(state.Q)                        # (11,3,3)
+    Rex = lie.quat_to_rot(state.ex_q[ex_idx])
+    tex = state.ex_p[ex_idx]
+    t_wc = state.P + jnp.einsum("fij,j->fi", Rws, tex)    # (11,3) cam centers
+    R_wc = jnp.einsum("fij,jk->fik", Rws, Rex)            # (11,3,3)
+
+    def one(lane):
+        s_l = s[lane]
+        t0 = t_wc[s_l]
+        R0 = R_wc[s_l]
+        # relative cam poses: x_cj = Rᵀ (x_c0 - t) with R = R0ᵀ R1, t = R0ᵀ(t1-t0)
+        t_rel = jnp.einsum("ij,fj->fi", R0.T, t_wc - t0)
+        R_rel = jnp.einsum("ij,fjk->fik", R0.T, R_wc)
+        P_rows = jnp.concatenate(
+            [jnp.swapaxes(R_rel, 1, 2),
+             -jnp.einsum("fij,fi->fj", R_rel, t_rel)[:, :, None]], axis=2
+        )  # (11, 3, 4)
+        f = jnp.concatenate([book.un[lane], jnp.ones((N_STATES, 1), dtype)], 1)
+        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+        row0 = f[:, 0:1] * P_rows[:, 2] - f[:, 2:3] * P_rows[:, 0]
+        row1 = f[:, 1:2] * P_rows[:, 2] - f[:, 2:3] * P_rows[:, 1]
+        m = book.obs[lane][:, None].astype(dtype)
+        A = jnp.concatenate([row0 * m, row1 * m], axis=0)  # (22, 4)
+        _, _, vt = jnp.linalg.svd(A)
+        v = vt[-1]
+        return v[2] / v[3]
+
+    depth = jax.vmap(one)(jnp.arange(L))
+    ok = gate & (depth >= 0.1)
+    inv_depth = jnp.where(ok, 1.0 / jnp.maximum(depth, 1e-6), book.inv_depth)
+    return dataclasses.replace(
+        book, inv_depth=inv_depth, depth_valid=book.depth_valid | ok)
+
+
+# ---------------------------------------------------------------------------
+# window slide (removeBackShiftDepth :952-1018, removeFront)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def slide_old(book: FeatureBook, marg_P, marg_Q, new_P, new_Q, ex_p, ex_q):
+    """Slide after MARGIN_OLD: shift all observations one slot left; features
+    anchored at frame 0 are re-anchored to the new frame 0 with transformed
+    depth; lanes left with < 2 observations are dropped (removeBackShiftDepth).
+
+    marg_*/new_*: body poses of the marginalized frame and new first frame;
+    ex: body_T_cam of this book's left camera.
+    """
+    dtype = book.un.dtype
+    s = start_frame(book)
+    anchored0 = book.active & (s == 0) & book.obs[:, 0]
+
+    # depth re-anchor: p_cam0 old → world → cam0 new
+    Rm = lie.quat_to_rot(marg_Q)
+    Rn = lie.quat_to_rot(new_Q)
+    Rex = lie.quat_to_rot(ex_q)
+    R_w_old = Rm @ Rex
+    t_w_old = marg_P + Rm @ ex_p
+    R_w_new = Rn @ Rex
+    t_w_new = new_P + Rn @ ex_p
+
+    uv0 = book.un[:, 0]
+    depth = jnp.where(book.depth_valid & (jnp.abs(book.inv_depth) > 1e-9),
+                      1.0 / jnp.where(jnp.abs(book.inv_depth) > 1e-9,
+                                      book.inv_depth, 1.0), 1.0)
+    pts_cam = jnp.concatenate([uv0, jnp.ones((uv0.shape[0], 1), dtype)], 1) \
+        * depth[:, None]
+    pts_w = pts_cam @ R_w_old.T + t_w_old
+    pts_new = (pts_w - t_w_new) @ R_w_new
+    new_depth = pts_new[:, 2]
+    re_ok = anchored0 & book.depth_valid & (new_depth > 0.1)
+
+    def shift(a):
+        pad = jnp.zeros_like(a[:, -1:])
+        return jnp.concatenate([a[:, 1:], pad], axis=1)
+
+    book2 = dataclasses.replace(
+        book,
+        un=shift(book.un), vel=shift(book.vel),
+        un_r=shift(book.un_r), vel_r=shift(book.vel_r),
+        obs=shift(book.obs), stereo=shift(book.stereo),
+        td_obs=shift(book.td_obs),
+    )
+    inv_new = jnp.where(
+        anchored0,
+        jnp.where(re_ok, 1.0 / jnp.maximum(new_depth, 1e-6), 0.0),
+        book.inv_depth,
+    )
+    depth_valid = jnp.where(anchored0, re_ok, book.depth_valid)
+    alive = book2.active & (jnp.sum(book2.obs, axis=1) >= 1)
+    # reference drops anchored features that kept < 2 obs (":966-968")
+    alive = alive & ~(anchored0 & (jnp.sum(book2.obs, axis=1) < 2))
+    return dataclasses.replace(
+        book2, inv_depth=jnp.where(alive, inv_new, 0.0),
+        depth_valid=depth_valid & alive, active=alive,
+        ids=jnp.where(alive, book2.ids, -1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("frame_count",))
+def slide_second_new(book: FeatureBook, frame_count: int):
+    """Slide after MARGIN_SECOND_NEW (removeFront): delete slot fc-1 obs and
+    move slot fc into it."""
+    j = frame_count - 1
+
+    def mv(a):
+        a = a.at[:, j].set(a[:, frame_count])
+        zeros = jnp.zeros_like(a[:, frame_count])
+        return a.at[:, frame_count].set(zeros)
+
+    book2 = dataclasses.replace(
+        book,
+        un=mv(book.un), vel=mv(book.vel), un_r=mv(book.un_r), vel_r=mv(book.vel_r),
+        obs=mv(book.obs), stereo=mv(book.stereo), td_obs=mv(book.td_obs),
+    )
+    alive = book2.active & (jnp.sum(book2.obs, axis=1) >= 1)
+    return dataclasses.replace(
+        book2, active=alive, ids=jnp.where(alive, book2.ids, -1),
+        depth_valid=book2.depth_valid & alive,
+    )
+
+
+@jax.jit
+def remove_failures(book: FeatureBook):
+    """Drop features whose optimized depth went negative (removeFailures)."""
+    bad = book.active & book.depth_valid & (book.inv_depth < 0)
+    alive = book.active & ~bad
+    return dataclasses.replace(
+        book, active=alive, ids=jnp.where(alive, book.ids, -1),
+        depth_valid=book.depth_valid & alive,
+    )
