@@ -1,0 +1,189 @@
+"""Distributed bundle adjustment: landmark-sharded Schur reduction over psum.
+
+This is the TPU-native replacement for BOTH the reference's 4-pthread Hessian
+assembly (marginalization_factor.cpp:188-216) and Ceres DENSE_SCHUR
+(estimator.cpp:2024-2036), scaled across a device mesh:
+
+  * landmark lanes of each feature book are sharded over the "lm" mesh axis —
+    a landmark's residual rows live entirely on its shard, so the landmark
+    elimination (the expensive part of Schur) is fully local;
+  * each shard computes its partial reduced camera system
+    Hr_k = Hpp_k − Hpl_k hll_k⁻¹ Hlp_k, and one `lax.psum` over "lm" yields
+    the global 190×190 reduced system (tiny — solved replicated);
+  * the IMU + prior factors are counted once (shard 0) to avoid duplication;
+  * independent windows/sequences batch over the "dp" axis (plain sharding of
+    the leading batch dim; no cross-window communication).
+
+Wall-clock model: per-shard linearization is O(L/n_lm), the collective moves
+one (190, 190) array — bandwidth-trivial on ICI, so scaling is compute-bound.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from esvio_tpu.imu import preintegration as pre
+from esvio_tpu.solver import gauss_newton as gn
+from esvio_tpu.solver.window import DIM_ALL, FeatureBook, WindowState, apply_delta
+from esvio_tpu.dist.sharding import shard_map
+
+
+def _book_spec():
+    lane = P(None, "lm")  # leading batch dim, lane dim sharded
+    return FeatureBook(
+        un=lane, vel=lane, un_r=lane, vel_r=lane, obs=lane, stereo=lane,
+        td_obs=lane, inv_depth=lane, depth_valid=lane, active=lane, ids=lane,
+    )
+
+
+def _rep(tree):
+    return jax.tree_util.tree_map(lambda _: P(None), tree,
+                                  is_leaf=lambda x: x is None) if tree is None \
+        else jax.tree_util.tree_map(lambda _: P(None), tree)
+
+
+def make_sharded_solver(mesh, iters: int = 8, cauchy_c: float = 1.0):
+    """Build a jitted distributed solver over `mesh` (axes "dp", "lm").
+
+    Returned fn signature (all leading-batch over dp):
+      (state, book_img, book_evt, preints, imu_valid, prior, g)
+        → (state', book_img', book_evt', costs)
+    Books' lane axis must be divisible by mesh.shape["lm"].
+    """
+
+    def local_step(state, bi, be, preints, imu_valid, prior, g, lam_damp):
+        """One LM iteration on this shard's books; returns accepted update."""
+        dtype = state.P.dtype
+        first = jax.lax.axis_index("lm") == 0
+        w_once = first.astype(dtype)
+
+        # local linearization: books are the local shard; IMU+prior weighted
+        # to appear on shard 0 only
+        prior_local = dataclasses.replace(
+            prior, valid=prior.valid & first)
+        iv_local = imu_valid & first
+        J, r, L_tot = gn.linearize(state, bi, be, preints, iv_local,
+                                   prior_local, g, cauchy_c)
+        col_norm2 = jax.lax.psum(jnp.sum(J * J, axis=0)[:DIM_ALL], "lm")
+        lm_norm2 = jnp.sum(J * J, axis=0)[DIM_ALL:]
+        col_norm = jnp.sqrt(jnp.concatenate([col_norm2, lm_norm2]))
+        active_col = col_norm > 1e-10
+        d_inv = jnp.where(active_col, 1.0 / jnp.where(active_col, col_norm, 1.0),
+                          0.0)
+        Js = J * d_inv[None, :]
+
+        H = Js.T @ Js
+        b = Js.T @ r
+        Hpp = H[:DIM_ALL, :DIM_ALL]
+        Hpl = H[:DIM_ALL, DIM_ALL:]
+        hll = jnp.diagonal(H)[DIM_ALL:]
+        active_lm = hll > 0.5
+        inv_hll = jnp.where(active_lm, 1.0 / jnp.where(active_lm, hll, 1.0), 0.0)
+
+        Hr_local = Hpp - (Hpl * inv_hll[None, :]) @ Hpl.T
+        br_local = b[:DIM_ALL] - Hpl @ (b[DIM_ALL:] * inv_hll)
+        Hr = jax.lax.psum(Hr_local, "lm")
+        br = jax.lax.psum(br_local, "lm")
+
+        w, V = jnp.linalg.eigh(Hr)
+        w_max = jnp.maximum(w[-1], 1e-12)
+        keep = w > w_max * 1e-10
+        w_inv = jnp.where(keep, 1.0 / (jnp.where(keep, w, 1.0) + lam_damp), 0.0)
+        dxp_s = -(V * w_inv[None, :]) @ (V.T @ br)
+        dlam_s = -(b[DIM_ALL:] + Hpl.T @ dxp_s) * inv_hll
+        dxp = dxp_s * d_inv[:DIM_ALL]
+        dlam = dlam_s * d_inv[DIM_ALL:]
+
+        st_new = apply_delta(state, dxp)
+        L_img = bi.un.shape[0]
+        bi_new = dataclasses.replace(bi, inv_depth=bi.inv_depth + dlam[:L_img])
+        be_new = dataclasses.replace(be, inv_depth=be.inv_depth + dlam[L_img:])
+
+        c_old = jax.lax.psum(0.5 * jnp.sum(r * r), "lm")
+        _, r_new, _ = gn.linearize(st_new, bi_new, be_new, preints, iv_local,
+                                   prior_local, g, cauchy_c, with_jac=False)
+        c_new = jax.lax.psum(0.5 * jnp.sum(r_new * r_new), "lm")
+        accept = c_new < c_old
+        sel = lambda a, b_: jnp.where(accept, b_, a)
+        state = jax.tree_util.tree_map(sel, state, st_new)
+        bi = jax.tree_util.tree_map(sel, bi, bi_new)
+        be = jax.tree_util.tree_map(sel, be, be_new)
+        lam_damp = jnp.where(accept, jnp.maximum(lam_damp / 10.0, 1e-12),
+                             jnp.minimum(lam_damp * 100.0, 1e4))
+        return state, bi, be, lam_damp, c_new
+
+    def solve_one(state, bi, be, preints, imu_valid, prior, g):
+        dtype = state.P.dtype
+
+        def body(carry, _):
+            st, bi_, be_, lam = carry
+            st, bi_, be_, lam, c = local_step(st, bi_, be_, preints, imu_valid,
+                                              prior, g, lam)
+            return (st, bi_, be_, lam), c
+
+        # scan carries must have stable varying-axes types under shard_map:
+        # promote everything to varying over both mesh axes up front
+        def vary_all(x):
+            have = getattr(jax.typeof(x), "vma", frozenset())
+            need = tuple(a for a in ("dp", "lm") if a not in have)
+            return jax.lax.pvary(x, need) if need else x
+
+        init = jax.tree_util.tree_map(
+            vary_all, (state, bi, be, jnp.asarray(1e-10, dtype)))
+        (state, bi, be, _), costs = jax.lax.scan(body, init, None, length=iters)
+        return state, bi, be, costs
+
+    def sharded(state, bi, be, preints, imu_valid, prior, g):
+        # vmap over the local dp batch, shard_map gives per-shard books
+        f = jax.vmap(solve_one, in_axes=(0, 0, 0, 0, 0, 0, None))
+        return f(state, bi, be, preints, imu_valid, prior, g)
+
+    batch = lambda spec: jax.tree_util.tree_map(
+        lambda s: P(*(("dp",) + tuple(s))), spec,
+        is_leaf=lambda x: isinstance(x, P))
+
+    state_spec = jax.tree_util.tree_map(lambda _: P("dp"), win_template_state())
+    book_spec = jax.tree_util.tree_map(
+        lambda _: P("dp", "lm"), win_template_book())
+    pre_spec = jax.tree_util.tree_map(lambda _: P("dp"), pre_template())
+    prior_spec = jax.tree_util.tree_map(lambda _: P("dp"), prior_template())
+
+    fn = shard_map(
+        sharded, mesh,
+        in_specs=(state_spec, book_spec, book_spec, pre_spec, P("dp"),
+                  prior_spec, P(None)),
+        out_specs=(state_spec, book_spec, book_spec, P("dp")),
+        # state/costs are mathematically replicated over "lm" (identical
+        # psummed system solved on every shard) — skip static inference
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+# --- pytree "templates" used only for building matching PartitionSpec trees --
+
+def win_template_state():
+    from esvio_tpu.solver.window import init_window
+    return init_window()
+
+
+def win_template_book():
+    from esvio_tpu.solver.window import empty_book
+    return empty_book(1)
+
+
+def pre_template():
+    import jax.numpy as jnp
+    z3 = jnp.zeros(3)
+    return pre.Preintegrated(
+        delta_p=z3, delta_q=jnp.zeros(4), delta_v=z3,
+        jacobian=jnp.zeros((15, 15)), covariance=jnp.zeros((15, 15)),
+        sum_dt=jnp.zeros(()), linearized_ba=z3, linearized_bg=z3)
+
+
+def prior_template():
+    return gn.empty_prior()

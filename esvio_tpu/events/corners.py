@@ -106,14 +106,20 @@ def _circle_ok(vals, min_thresh: int, max_thresh: int):
     return (size <= max_thresh) | ((size >= n - max_thresh) & (size <= n - min_thresh))
 
 
-def _is_corner_one(sae_pol_flat, W, H, x, y):
-    """Arc* test for one event whose SAE (its polarity) is given flattened."""
+def _is_corner_one(sae_flat, W, H, x, y, p):
+    """Arc* test for one event; sae_flat is the full (2·H·W,) SAE buffer.
+
+    Polarity is folded into the flat index so vmap emits one small gather per
+    event instead of selecting an entire (H·W) plane (which would materialize
+    an E×H·W tensor on TPU).
+    """
     sxy = SMALL_CIRCLE
     lxy = LARGE_CIRCLE
-    small_idx = (y + sxy[:, 1]) * W + (x + sxy[:, 0])
-    large_idx = (y + lxy[:, 1]) * W + (x + lxy[:, 0])
-    small_vals = sae_pol_flat[jnp.clip(small_idx, 0, W * H - 1)]
-    large_vals = sae_pol_flat[jnp.clip(large_idx, 0, W * H - 1)]
+    base = p * (H * W)
+    small_idx = base + (y + sxy[:, 1]) * W + (x + sxy[:, 0])
+    large_idx = base + (y + lxy[:, 1]) * W + (x + lxy[:, 0])
+    small_vals = sae_flat[jnp.clip(small_idx, 0, 2 * W * H - 1)]
+    large_vals = sae_flat[jnp.clip(large_idx, 0, 2 * W * H - 1)]
     small_ok = _circle_ok(small_vals, _SMALL_MIN, _SMALL_MAX)
     large_ok = _circle_ok(large_vals, _LARGE_MIN, _LARGE_MAX)
     return small_ok & large_ok
@@ -135,11 +141,11 @@ def detect_corners(state: SAEState, chunk: EventChunk, min_dist: int = 10):
     )
     admitted = harvest_filter(state, chunk) & in_border
 
-    sae_flat = state.sae.reshape(2, -1)
+    sae_flat = state.sae.reshape(-1)
 
-    def one(p, x, y):
-        return _is_corner_one(sae_flat[p], W, H, x, y)
+    def one(x, y, p):
+        return _is_corner_one(sae_flat, W, H, x, y, p)
 
-    is_corner = jax.vmap(one)(chunk.p, jnp.clip(chunk.x, 0, W - 1),
-                              jnp.clip(chunk.y, 0, H - 1))
+    is_corner = jax.vmap(one)(jnp.clip(chunk.x, 0, W - 1),
+                              jnp.clip(chunk.y, 0, H - 1), chunk.p)
     return admitted & is_corner

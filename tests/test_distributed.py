@@ -1,0 +1,49 @@
+"""Distributed landmark-sharded BA must match the single-device solver.
+
+Runs on the virtual 8-device CPU mesh (dp=2, lm=4).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from esvio_tpu.dist import sharding, distributed_ba
+from esvio_tpu.solver import gauss_newton as gn
+from esvio_tpu.solver import window as win
+
+from test_solver import build_problem, N_LM
+
+
+@pytest.mark.slow
+def test_sharded_ba_matches_single_device(rng):
+    traj, lm, state, b_img, b_evt, preints, gtd = build_problem(rng)
+    g = jnp.asarray(traj["g"])
+    iv = jnp.ones(10, bool)
+    prior = gn.empty_prior(jnp.float64)
+
+    # reference single-device result
+    st_ref, bi_ref, be_ref, costs_ref = gn.solve_window(
+        state, b_img, b_evt, preints, iv, prior, g, iters=5)
+
+    mesh = sharding.make_mesh(dp=2, lm=4)
+    solver = distributed_ba.make_sharded_solver(mesh, iters=5)
+
+    B = 2
+    bat = lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * B), t)
+    st_b, bi_b, be_b = bat(state), bat(b_img), bat(b_evt)
+    pre_b = bat(preints)
+    prior_b = bat(prior)
+    iv_b = jnp.stack([iv] * B)
+
+    st_out, bi_out, be_out, costs = solver(
+        st_b, bi_b, be_b, pre_b, iv_b, prior_b, g)
+
+    costs = np.asarray(costs)
+    np.testing.assert_allclose(costs[0], costs[1], rtol=1e-9)  # dp replicas agree
+    np.testing.assert_allclose(costs[0], np.asarray(costs_ref), rtol=1e-5)
+
+    np.testing.assert_allclose(np.asarray(st_out.P[0]), np.asarray(st_ref.P),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(be_out.inv_depth[0]),
+                               np.asarray(be_ref.inv_depth), atol=1e-6)
