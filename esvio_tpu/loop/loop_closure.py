@@ -1,0 +1,202 @@
+"""Loop-closure orchestrator: keyframes → detection → verification → 4-DoF graph.
+
+Host-side counterpart of pose_graph_node + PoseGraph::addKeyFrame/
+KeyFrame::findConnection (/root/reference/pose_graph/src/pose_graph.cpp:53-240,
+keyframe.cpp:319-563): BRIEF matching and PnP-RANSAC run as jitted kernels;
+drift (r_drift/t_drift) is re-applied to newer keyframes and exposed for
+correcting incoming VIO odometry (pose_graph_node.cpp:241-318).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from esvio_tpu.core import lie
+from esvio_tpu.init import pnp
+from esvio_tpu.loop import brief, fast, keyframe_db, pose_graph
+
+MIN_LOOP_NUM = 15       # keyframe.h:18
+MAX_YAW_DEG = 30.0      # keyframe.cpp:523
+MAX_DIST_M = 20.0
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    fast_threshold: int = 20
+    max_extra_corners: int = 512
+    hamming_max: int = 80
+    pnp_threshold: float = 10.0 / 460.0
+    pnp_hypotheses: int = 100
+    graph_iters: int = 5
+    graph_capacity: int = 2048
+    loop_capacity: int = 256
+    skip_recent: int = 50
+
+
+class LoopCloser:
+    def __init__(self, cfg: LoopConfig = LoopConfig(), cam=None):
+        self.cfg = cfg
+        self.cam = cam
+        self.db = keyframe_db.KeyFrameDB(capacity=cfg.graph_capacity,
+                                         n_extra=cfg.max_extra_corners,
+                                         skip_recent=cfg.skip_recent)
+        self.loops = []           # (i_old, j_new, t_ij, yaw_ij)
+        self.r_drift = np.eye(3)
+        self.t_drift = np.zeros(3)
+        self.key = jax.random.PRNGKey(7)
+        self.first_loop_idx: Optional[int] = None
+
+    # ------------------------------------------------------------------ add
+    def add_keyframe(self, stamp, t_w, q_w, win_pts_w, win_uv, win_valid,
+                     image, sequence=0) -> Optional[dict]:
+        """Register a keyframe; returns loop info dict when a loop closes.
+
+        win_pts_w: (P, 3) world landmarks of the sliding window seen by this
+        keyframe; win_uv: (P, 2) their pixel coords in `image`.
+        """
+        img = jnp.asarray(image, jnp.float32)
+        # descriptors at window points (computeWindowBRIEFPoint)
+        win_desc = np.asarray(brief.describe(
+            img, jnp.asarray(win_uv, jnp.float32), jnp.asarray(win_valid)))
+        # new FAST corners + descriptors (computeBRIEFPoint)
+        xy, score, ok = fast.detect_fast(img, self.cfg.fast_threshold,
+                                         self.cfg.max_extra_corners)
+        ext_desc = np.asarray(brief.describe(img, xy, ok))
+        if self.cam is not None:
+            from esvio_tpu.core.camera import lift_projective
+            rays = np.asarray(lift_projective(self.cam, np.asarray(xy)))
+            ext_un = rays[:, :2] / rays[:, 2:]
+        else:
+            ext_un = np.asarray(xy)
+
+        idx = self.db.add(stamp, np.asarray(t_w), np.asarray(q_w),
+                          np.asarray(win_pts_w), np.zeros((len(win_pts_w), 2)),
+                          win_desc, np.asarray(win_valid),
+                          ext_un, ext_desc, np.asarray(ok), sequence)
+
+        cand = self.db.query(idx)
+        if cand is None:
+            return None
+        info = self._find_connection(idx, cand)
+        if info is None:
+            return None
+        self.loops.append(info)
+        if self.first_loop_idx is None or info["i_old"] < self.first_loop_idx:
+            self.first_loop_idx = info["i_old"]
+        self._optimize()
+        return info
+
+    # ---------------------------------------------------------- verification
+    def _find_connection(self, j_new: int, i_old: int) -> Optional[dict]:
+        """BRIEF match + PnP-RANSAC + geometric gates (findConnection)."""
+        cfg = self.cfg
+        dbw = self.db
+        # match new window descriptors → old keyframe's FAST descriptors
+        idx, ok = brief.match(
+            jnp.asarray(dbw.win_desc[j_new]), jnp.asarray(dbw.win_valid[j_new]),
+            jnp.asarray(dbw.ext_desc[i_old]), jnp.asarray(dbw.ext_valid[i_old]),
+            cfg.hamming_max)
+        idx = np.asarray(idx)
+        ok = np.asarray(ok)
+        if ok.sum() < MIN_LOOP_NUM:
+            return None
+
+        pts_w = dbw.win_pts[j_new]           # 3D in world
+        obs_old = dbw.ext_un[i_old][idx]     # matched normalized obs in old KF
+
+        # seed with the old keyframe pose (w_T_old): PnP solves old cam pose
+        R_old = np.asarray(lie.quat_to_rot(jnp.asarray(dbw.q_vio[i_old])))
+        self.key, k = jax.random.split(self.key)
+        R, t, inl = pnp.pnp_ransac(
+            k, jnp.asarray(pts_w), jnp.asarray(obs_old), jnp.asarray(ok),
+            jnp.asarray(R_old.T), jnp.asarray(dbw.t_vio[i_old]),
+            cfg.pnp_threshold, cfg.pnp_hypotheses)
+        n_inl = int(np.asarray(inl).sum())
+        if n_inl < MIN_LOOP_NUM:
+            return None
+
+        # relative pose: old (PnP, world frame) vs new (VIO)
+        R_w_old = np.asarray(R).T
+        t_w_old = np.asarray(t)
+        R_new = np.asarray(lie.quat_to_rot(jnp.asarray(dbw.q_vio[j_new])))
+        t_new = dbw.t_vio[j_new]
+        rel_t = R_w_old.T @ (t_new - t_w_old)
+        rel_R = R_w_old.T @ R_new
+        rel_yaw = float(np.asarray(lie.rot_to_ypr(jnp.asarray(rel_R)))[0])
+        if abs(rel_yaw) > MAX_YAW_DEG or np.linalg.norm(rel_t) > MAX_DIST_M:
+            return None
+
+        return dict(i_old=i_old, j_new=j_new, rel_t=rel_t, rel_yaw=rel_yaw,
+                    n_inliers=n_inl)
+
+    # ------------------------------------------------------------- 4-DoF opt
+    def _optimize(self):
+        db = self.db
+        n = db.count
+        # pad node count to the next power of two (static shapes; the jitted
+        # graph recompiles only at doublings)
+        K = max(64, 1 << (n - 1).bit_length())
+        # measurements + initial values both come from the VIO poses, exactly
+        # like optimize4DoF (pose_graph.cpp:463-495 uses getVioPose)
+        ypr = np.asarray(lie.rot_to_ypr(lie.quat_to_rot(
+            jnp.asarray(db.q_vio[:n]))))
+        yaw = np.zeros(K)
+        pitch = np.zeros(K)
+        roll = np.zeros(K)
+        t = np.zeros((K, 3))
+        yaw[:n] = ypr[:, 0]
+        pitch[:n] = ypr[:, 1]
+        roll[:n] = ypr[:, 2]
+        t[:n] = db.t_vio[:n]
+        valid = np.arange(K) < n
+
+        E = self.cfg.loop_capacity
+        li = np.zeros(E, np.int32)
+        lj = np.zeros(E, np.int32)
+        lt = np.zeros((E, 3))
+        ly = np.zeros(E)
+        lv = np.zeros(E, bool)
+        for k, info in enumerate(self.loops[:E]):
+            li[k] = info["i_old"]
+            lj[k] = info["j_new"]
+            lt[k] = info["rel_t"]
+            ly[k] = info["rel_yaw"]
+            lv[k] = True
+
+        first = self.first_loop_idx or 0
+        yaw_o, t_o = pose_graph.optimize_4dof(
+            jnp.asarray(yaw), jnp.asarray(t), jnp.asarray(pitch),
+            jnp.asarray(roll), jnp.asarray(valid), jnp.asarray(first),
+            jnp.asarray(li), jnp.asarray(lj), jnp.asarray(lt), jnp.asarray(ly),
+            jnp.asarray(lv), iters=self.cfg.graph_iters)
+        yaw_o = np.asarray(yaw_o)[:n]
+        t_o = np.asarray(t_o)[:n]
+
+        # write back optimized poses; keep pitch/roll from VIO
+        for i in range(n):
+            R = np.asarray(lie.ypr_to_rot(jnp.asarray(
+                [yaw_o[i], pitch[i], roll[i]])))
+            db.q_opt[i] = np.asarray(lie.rot_to_quat(jnp.asarray(R)))
+            db.t_opt[i] = t_o[i]
+
+        # drift of the newest optimized keyframe vs its VIO pose
+        # (pose_graph.cpp:541-578)
+        last = n - 1
+        ypr_opt = yaw_o[last]
+        ypr_vio = np.asarray(lie.rot_to_ypr(jnp.asarray(
+            lie.quat_to_rot(jnp.asarray(db.q_vio[last])))))
+        yaw_drift = ypr_opt - ypr_vio[0]
+        self.r_drift = np.asarray(lie.ypr_to_rot(jnp.asarray(
+            [yaw_drift, 0.0, 0.0])))
+        self.t_drift = db.t_opt[last] - self.r_drift @ db.t_vio[last]
+
+    def correct_odometry(self, t_w, q_w):
+        """Apply current drift to an incoming VIO pose (pose_graph_node:241-318)."""
+        R = np.asarray(lie.quat_to_rot(jnp.asarray(q_w)))
+        t_c = self.r_drift @ np.asarray(t_w) + self.t_drift
+        R_c = self.r_drift @ R
+        return t_c, np.asarray(lie.rot_to_quat(jnp.asarray(R_c)))
