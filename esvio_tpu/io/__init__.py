@@ -1,0 +1,1 @@
+from esvio_tpu.io import config, trajectory, datasets  # noqa: F401
