@@ -261,3 +261,146 @@ def track_event_stereo(cfg: TrackerConfig, cam_left: CameraModel,
         prev_time=t_now, next_id=next_id, key=key,
     )
     return new_state, packet
+
+
+# ---------------------------------------------------------------------------
+# image (frame) path — trackImage (feature_tracker.cpp:164-338)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ImageTrackerState:
+    prev_pyr: tuple
+    pts: jnp.ndarray
+    ids: jnp.ndarray
+    track_cnt: jnp.ndarray
+    valid: jnp.ndarray
+    prev_un: jnp.ndarray
+    prev_un_right: jnp.ndarray
+    prev_right_valid: jnp.ndarray
+    prev_time: jnp.ndarray
+    next_id: jnp.ndarray
+    key: jnp.ndarray
+
+
+def init_image_state(cfg: TrackerConfig, key=None, dtype=jnp.float32,
+                     id_offset: int = 1 << 24) -> ImageTrackerState:
+    """Image-path state; ids offset so event/image books never collide."""
+    F = cfg.capacity
+    zero_img = jnp.zeros((cfg.height, cfg.width), dtype)
+    pyr = tuple(tuple(x.astype(dtype) for x in lvl)
+                for lvl in pyramid.build_lk_pyramid(zero_img, cfg.lk_levels))
+    return ImageTrackerState(
+        prev_pyr=pyr, pts=jnp.zeros((F, 2), dtype),
+        ids=jnp.full((F,), -1, jnp.int32), track_cnt=jnp.zeros((F,), jnp.int32),
+        valid=jnp.zeros((F,), bool), prev_un=jnp.zeros((F, 2), dtype),
+        prev_un_right=jnp.zeros((F, 2), dtype),
+        prev_right_valid=jnp.zeros((F,), bool),
+        prev_time=jnp.asarray(0.0, dtype),
+        next_id=jnp.asarray(id_offset, jnp.int32),
+        key=key if key is not None else jax.random.PRNGKey(1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_image_stereo(cfg: TrackerConfig, cam_left: CameraModel,
+                       cam_right: CameraModel, state: ImageTrackerState,
+                       img_left, img_right, t_now):
+    """Frame path: temporal LK + Shi-Tomasi refill + stereo LK
+    (trackImage, feature_tracker.cpp:164-338)."""
+    from esvio_tpu.frontend import detect as detect_mod
+
+    F = cfg.capacity
+    C = cfg.cand_capacity
+    dtype = state.pts.dtype
+    t_now = jnp.asarray(t_now, dtype)
+    key, k_ransac = jax.random.split(state.key)
+
+    pyr_l = tuple(tuple(x for x in lvl)
+                  for lvl in pyramid.build_lk_pyramid(img_left.astype(dtype),
+                                                      cfg.lk_levels))
+    pyr_r = tuple(tuple(x for x in lvl)
+                  for lvl in pyramid.build_lk_pyramid(img_right.astype(dtype),
+                                                      cfg.lk_levels))
+
+    cur, st = lk.lk_track(state.prev_pyr, pyr_l, state.pts, state.valid,
+                          iters=cfg.lk_iters)
+    back, st_b = lk.lk_track(pyr_l[:2], state.prev_pyr[:2], cur, st,
+                             pts_init=state.pts, iters=cfg.lk_iters)
+    fb_ok = jnp.sum((back - state.pts) ** 2, axis=-1) <= cfg.fb_threshold ** 2
+    tracked = st & st_b & fb_ok & _in_border(cfg, cur)
+
+    un_cur3 = lift_projective(cam_left, cur)
+    un_cur2 = un_cur3[..., :2] / un_cur3[..., 2:3]
+    inl, _ = ransac.fundamental_ransac(
+        k_ransac, _virtual_pixels(cfg, state.prev_un),
+        _virtual_pixels(cfg, un_cur2), tracked, cfg.f_threshold,
+        cfg.ransac_hypotheses)
+    tracked = jnp.where(jnp.sum(tracked) >= 8, inl & tracked, tracked)
+    track_cnt = jnp.where(tracked, state.track_cnt + 1, 0)
+
+    cand_xy, cand_resp, cand_ok = detect_mod.shi_tomasi(
+        pyr_l[0][0], max_corners=C, quality_level=0.01)
+
+    pri = jnp.concatenate([
+        1e6 + track_cnt.astype(dtype), 1e5 + cand_resp.astype(dtype) * 0.0
+        - jnp.arange(C, dtype=dtype),
+    ])
+    all_x = jnp.concatenate([cur[:, 0], cand_xy[:, 0]])
+    all_y = jnp.concatenate([cur[:, 1], cand_xy[:, 1]])
+    all_valid = jnp.concatenate([tracked, cand_ok])
+    keep, _ = mask_mod.greedy_spacing(
+        pri, all_x, all_y, all_valid, cfg.height, cfg.width,
+        cfg.min_dist, cfg.max_cnt)
+    keep_new = keep[F:]
+
+    new_rank = jnp.cumsum(keep_new.astype(jnp.int32)) - 1
+    new_ids = jnp.where(keep_new, state.next_id + new_rank, -1)
+    next_id = state.next_id + jnp.sum(keep_new.astype(jnp.int32))
+
+    all_pts = jnp.concatenate([cur, cand_xy])
+    all_ids = jnp.concatenate([state.ids, new_ids])
+    all_cnt = jnp.concatenate([track_cnt, jnp.ones((C,), jnp.int32)])
+    is_new = jnp.concatenate([jnp.zeros((F,), bool), jnp.ones((C,), bool)])
+    all_prev_un = jnp.concatenate([state.prev_un, jnp.zeros((C, 2), dtype)])
+    all_prev_unr = jnp.concatenate([state.prev_un_right, jnp.zeros((C, 2), dtype)])
+    all_prev_rv = jnp.concatenate([state.prev_right_valid, jnp.zeros((C,), bool)])
+
+    sort_key = (~keep).astype(jnp.int32) * (2 * (F + C)) \
+        + is_new.astype(jnp.int32) * (F + C) + jnp.arange(F + C, dtype=jnp.int32)
+    order = jnp.argsort(sort_key)[:F]
+    pts_n = all_pts[order]
+    ids_n = all_ids[order]
+    cnt_n = all_cnt[order]
+    valid_n = keep[order]
+    isnew_n = is_new[order]
+    prev_un_n = all_prev_un[order]
+    prev_unr_n = all_prev_unr[order]
+    prev_rv_n = all_prev_rv[order]
+
+    r_pts, r_st = lk.lk_track(pyr_l, pyr_r, pts_n, valid_n, pts_init=pts_n,
+                              iters=cfg.lk_iters)
+    r_back, r_st_b = lk.lk_track(pyr_r, pyr_l, r_pts, r_st, pts_init=pts_n,
+                                 iters=cfg.lk_iters)
+    r_fb = jnp.sum((r_back - pts_n) ** 2, axis=-1) <= cfg.fb_threshold ** 2
+    right_valid = r_st & r_st_b & r_fb & _in_border(cfg, r_pts) & valid_n
+
+    un3 = lift_projective(cam_left, pts_n)
+    un = un3[..., :2] / un3[..., 2:3]
+    unr3 = lift_projective(cam_right, r_pts)
+    unr = unr3[..., :2] / unr3[..., 2:3]
+
+    dt = jnp.maximum(t_now - state.prev_time, 1e-6)
+    vel = jnp.where((valid_n & ~isnew_n)[:, None], (un - prev_un_n) / dt, 0.0)
+    vel_r = jnp.where((right_valid & prev_rv_n & ~isnew_n)[:, None],
+                      (unr - prev_unr_n) / dt, 0.0)
+
+    packet = FeaturePacket(
+        t=t_now, ids=ids_n, valid=valid_n, un=un, uv=pts_n, vel=vel,
+        right_valid=right_valid, un_right=unr, uv_right=r_pts, vel_right=vel_r,
+        track_cnt=cnt_n)
+    new_state = ImageTrackerState(
+        prev_pyr=pyr_l, pts=pts_n, ids=ids_n, track_cnt=cnt_n, valid=valid_n,
+        prev_un=un, prev_un_right=unr, prev_right_valid=right_valid,
+        prev_time=t_now, next_id=next_id, key=key)
+    return new_state, packet

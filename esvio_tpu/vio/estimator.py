@@ -322,21 +322,31 @@ class Estimator:
                 return -1.0
             return z
 
-        # chain camera poses with PnP frame-to-frame
+        # chain camera poses with PnP: world points from stereo depth at ANY
+        # earlier frame with known pose (robust to brief tracking blackouts)
         R_wc = [np.eye(3)]
         t_wc = [np.zeros(3)]
         for f in range(1, win.N_STATES):
             pts_w, obs2 = [], []
             for l in np.nonzero(active)[0]:
-                if not (obs[l, f - 1] and obs[l, f] and stereo[l, f - 1]):
+                if not obs[l, f]:
                     continue
-                z = stereo_depth(l, f - 1)
+                anchor = -1
+                for e in range(f - 1, -1, -1):
+                    if obs[l, e] and stereo[l, e]:
+                        anchor = e
+                        break
+                if anchor < 0:
+                    continue
+                z = stereo_depth(l, anchor)
                 if z <= 0:
                     continue
-                pc = np.array([un[l, f - 1, 0] * z, un[l, f - 1, 1] * z, z])
-                pts_w.append(R_wc[f - 1] @ pc + t_wc[f - 1])
+                pc = np.array([un[l, anchor, 0] * z, un[l, anchor, 1] * z, z])
+                pts_w.append(R_wc[anchor] @ pc + t_wc[anchor])
                 obs2.append(un[l, f])
             if len(pts_w) < 6:
+                if getattr(self, "debug", False):
+                    print(f"init: frame {f}: only {len(pts_w)} PnP points")
                 return False
             pts_w = np.asarray(pts_w)
             obs2 = np.asarray(obs2)
@@ -347,6 +357,8 @@ class Estimator:
                 jnp.ones(len(pts_w), bool), jnp.asarray(R0, dt),
                 jnp.asarray(t0, dt), iters=15)
             if float(err) > 5.0 / win.FOCAL:
+                if getattr(self, "debug", False):
+                    print(f"init: frame {f}: PnP err {float(err)*win.FOCAL:.2f} px")
                 return False
             R_wc.append(np.asarray(R).T)
             t_wc.append(np.asarray(tt))
@@ -370,6 +382,8 @@ class Estimator:
             preints.delta_p, preints.delta_v, preints.sum_dt,
             jnp.asarray(tex_n, dt), cfg.g_norm)
         if not bool(ok):
+            if getattr(self, "debug", False):
+                print(f"init: alignment failed, |g|={float(jnp.linalg.norm(g_b0)):.3f}")
             return False
 
         # gravity-align the world frame (visualInitialAlignWithDepth :1197-1262)

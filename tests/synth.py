@@ -160,3 +160,201 @@ def project_landmarks(traj, landmarks, ex_p, ex_q, noise=0.0, rng=None):
     if noise and rng is not None:
         obs += rng.normal(0, noise, obs.shape)
     return obs, vis
+
+
+def events_from_path(tex, margin, H, W, times, offsets, thresh=8.0,
+                     jitter_rng=None):
+    """Events for an arbitrary sub-pixel offset path (offsets[k] at times[k])."""
+    ts, xs, ys, ps = [], [], [], []
+    prev = sample_texture(tex, margin, H, W, offsets[0][0], offsets[0][1])
+    for k in range(1, len(times)):
+        cur = sample_texture(tex, margin, H, W, offsets[k][0], offsets[k][1])
+        diff = cur - prev
+        yy, xx = np.nonzero(np.abs(diff) > thresh)
+        if len(yy):
+            tt = np.full(len(yy), times[k])
+            if jitter_rng is not None:
+                tt = tt + jitter_rng.uniform(-1e-4, 1e-4, len(yy))
+            ts.append(tt)
+            xs.append(xx)
+            ys.append(yy)
+            ps.append((diff[yy, xx] > 0).astype(np.int32))
+        prev = cur
+    if not ts:
+        return (np.zeros(0), np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.int32))
+    t = np.concatenate(ts)
+    order = np.argsort(t, kind="stable")
+    return (t[order], np.concatenate(xs).astype(np.int32)[order],
+            np.concatenate(ys).astype(np.int32)[order],
+            np.concatenate(ps)[order])
+
+
+def planar_vio_sequence(rng, H=120, W=160, focal=200.0, plane_z=4.0,
+                        baseline=0.10, duration=2.0, imu_hz=200,
+                        fine_steps_per_s=400, g_norm=9.80766):
+    """Full stereo-event + IMU sequence: camera translating above a textured
+    plane at depth `plane_z` (identity rotation ⇒ exact event generation via
+    texture shifts).  Returns (SequenceData, gt_t, gt_P)."""
+    from esvio_tpu.io import datasets as ds
+
+    tex, margin = blob_texture(rng, H, W, n_blobs=int(H * W / 90), margin=200)
+
+    # smooth analytic trajectory (x, y); z fixed
+    w1, w2 = 0.7, 0.4
+    a1, a2 = 0.55, 0.4
+
+    def pos(t):
+        return np.stack([a1 * np.sin(2 * np.pi * w1 * t),
+                         a2 * (1 - np.cos(2 * np.pi * w2 * t)),
+                         np.zeros_like(t)], -1)
+
+    def accel(t):
+        return np.stack([-a1 * (2 * np.pi * w1) ** 2 * np.sin(2 * np.pi * w1 * t),
+                         a2 * (2 * np.pi * w2) ** 2 * np.cos(2 * np.pi * w2 * t),
+                         np.zeros_like(t)], -1)
+
+    t0 = 1.0
+    fine_t = np.arange(t0, t0 + duration, 1.0 / fine_steps_per_s)
+    fine_p = pos(fine_t - t0)
+    scale = focal / plane_z
+    off_l = fine_p[:, :2] * scale + np.array([W + 50, H + 50])
+    disp = focal * baseline / plane_z
+    off_r = off_l + np.array([disp, 0.0])  # right cam at +x: u_r = u_l − disp
+
+    tl, xl, yl, pl = events_from_path(tex, margin, H, W, fine_t, off_l,
+                                      jitter_rng=rng)
+    tr, xr, yr, pr = events_from_path(tex, margin, H, W, fine_t, off_r,
+                                      jitter_rng=rng)
+
+    imu_t = np.arange(t0, t0 + duration, 1.0 / imu_hz)
+    acc = accel(imu_t - t0) + np.array([0.0, 0.0, g_norm])
+    gyr = np.zeros((len(imu_t), 3))
+
+    seq = ds.SequenceData(
+        events_left=ds.EventStream(tl, xl, yl, pl),
+        events_right=ds.EventStream(tr, xr, yr, pr),
+        imu=ds.ImuStream(imu_t, acc, gyr),
+        ground_truth=(imu_t, pos(imu_t - t0)),
+    )
+    return seq, imu_t, pos(imu_t - t0)
+
+
+def render_plane(tex, margin, H, W, focal, cx, cy, R_wc, t_wc, plane_z,
+                 tex_scale, tex_cx, tex_cy):
+    """Render a textured plane z=plane_z seen from camera pose (R_wc, t_wc).
+
+    Texture pixel of world (x, y): (x*tex_scale + tex_cx, y*tex_scale + tex_cy).
+    """
+    v, u = np.mgrid[0:H, 0:W].astype(np.float64)
+    rays = np.stack([(u - cx) / focal, (v - cy) / focal, np.ones_like(u)], -1)
+    rays_w = rays @ R_wc.T
+    lam = (plane_z - t_wc[2]) / rays_w[..., 2]
+    X = t_wc[0] + lam * rays_w[..., 0]
+    Y = t_wc[1] + lam * rays_w[..., 1]
+    tx = X * tex_scale + tex_cx
+    ty = Y * tex_scale + tex_cy
+    x0 = np.clip(tx.astype(int), 0, tex.shape[1] - 2)
+    y0 = np.clip(ty.astype(int), 0, tex.shape[0] - 2)
+    fx = np.clip(tx - x0, 0, 1)
+    fy = np.clip(ty - y0, 0, 1)
+    return (tex[y0, x0] * (1 - fy) * (1 - fx) + tex[y0, x0 + 1] * (1 - fy) * fx
+            + tex[y0 + 1, x0] * fy * (1 - fx) + tex[y0 + 1, x0 + 1] * fy * fx)
+
+
+def planar_vio_sequence_rot(rng, H=120, W=160, focal=200.0, plane_z=4.0,
+                            baseline=0.10, duration=2.0, imu_hz=200,
+                            event_hz=400, g_norm=9.80766, rot_amp_deg=4.0):
+    """Stereo events + IMU from a camera over a textured plane WITH rotational
+    excitation (pitch/roll wobble) so gravity/bias are observable."""
+    import jax.numpy as jnp
+    from esvio_tpu.core import lie
+    from esvio_tpu.io import datasets as ds
+
+    tex, margin = blob_texture(rng, H * 2, W * 2, n_blobs=int(H * W / 25),
+                               margin=250)
+    tex_scale = focal / plane_z
+    tex_cx = tex.shape[1] / 2
+    tex_cy = tex.shape[0] / 2
+    cx, cy = W / 2, H / 2
+
+    # constant-speed circular translation: optical flow never vanishes, so
+    # the event stream has no blackouts (reversal blackouts are a degenerate
+    # case for any event-based tracker, reference included)
+    wc, wr = 0.5, 0.9
+    radius = 0.4
+    amp = np.deg2rad(rot_amp_deg)
+
+    def pos(t):
+        th = 2 * np.pi * wc * t
+        return np.stack([radius * np.sin(th), radius * (np.cos(th) - 1.0),
+                         np.zeros_like(t)], -1)
+
+    def accel_w(t):
+        th = 2 * np.pi * wc * t
+        k = (2 * np.pi * wc) ** 2
+        return np.stack([-k * radius * np.sin(th), -k * radius * np.cos(th),
+                         np.zeros_like(t)], -1)
+
+    def rotvec(t):
+        return np.stack([amp * np.sin(2 * np.pi * wr * t),
+                         amp * np.sin(2 * np.pi * wr * 0.77 * t + 1.0),
+                         np.zeros_like(t)], -1)
+
+    def rot(t):
+        import numpy as _np
+        return np.asarray(lie.so3_exp(jnp.asarray(rotvec(np.atleast_1d(t)))))
+
+    t0 = 1.0
+    # IMU: gyro from discrete log of relative rotations (matches the
+    # estimator's discrete propagation closely at 200 Hz)
+    imu_t = np.arange(t0, t0 + duration, 1.0 / imu_hz)
+    Rs = rot(imu_t - t0)
+    acc = np.einsum("kij,kj->ki", Rs.transpose(0, 2, 1),
+                    accel_w(imu_t - t0) + np.array([0, 0, g_norm]))
+    gyr = np.zeros((len(imu_t), 3))
+    dt_imu = 1.0 / imu_hz
+    for k in range(len(imu_t) - 1):
+        dR = Rs[k].T @ Rs[k + 1]
+        gyr[k] = np.asarray(lie.so3_log(jnp.asarray(dR))) / dt_imu
+    gyr[-1] = gyr[-2]
+
+    # events from frame diffs of the homography renders
+    ev_t = np.arange(t0, t0 + duration, 1.0 / event_hz)
+
+    def gen_events(cam_offset):
+        ts, xs, ys, ps = [], [], [], []
+        prev = None
+        for k, t in enumerate(ev_t):
+            tt = t - t0
+            R = rot(tt)[0]
+            p = pos(np.atleast_1d(tt))[0] + R @ cam_offset
+            img = render_plane(tex, margin, H, W, focal, cx, cy, R, p,
+                               plane_z, tex_scale, tex_cx, tex_cy)
+            if prev is not None:
+                diff = img - prev
+                yy, xx = np.nonzero(np.abs(diff) > 8.0)
+                if len(yy):
+                    tstamp = np.full(len(yy), t) + rng.uniform(-1e-4, 1e-4,
+                                                               len(yy))
+                    ts.append(tstamp)
+                    xs.append(xx)
+                    ys.append(yy)
+                    ps.append((diff[yy, xx] > 0).astype(np.int32))
+            prev = img
+        t_all = np.concatenate(ts)
+        order = np.argsort(t_all, kind="stable")
+        return (t_all[order], np.concatenate(xs).astype(np.int32)[order],
+                np.concatenate(ys).astype(np.int32)[order],
+                np.concatenate(ps)[order])
+
+    tl, xl, yl, pl = gen_events(np.zeros(3))
+    tr, xr, yr, pr = gen_events(np.array([baseline, 0.0, 0.0]))
+
+    seq = ds.SequenceData(
+        events_left=ds.EventStream(tl, xl, yl, pl),
+        events_right=ds.EventStream(tr, xr, yr, pr),
+        imu=ds.ImuStream(imu_t, acc, gyr),
+        ground_truth=(imu_t, pos(imu_t - t0)),
+    )
+    return seq, imu_t, pos(imu_t - t0)
