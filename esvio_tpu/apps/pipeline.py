@@ -59,7 +59,8 @@ class Pipeline:
             max_cnt=sys_cfg.max_cnt, min_dist=sys_cfg.min_dist,
             f_threshold=sys_cfg.f_threshold, decay_ms=sys_cfg.decay_ms,
             ignore_polarity=sys_cfg.ignore_polarity,
-            filter_threshold=sys_cfg.feature_filter_threshold)
+            filter_threshold=sys_cfg.feature_filter_threshold,
+            equalize=bool(sys_cfg.equalize))
         ex_p, ex_q = extrinsic_arrays(sys_cfg)
         mode = "esio" if sys_cfg.system_mode == 0 else "esvio"
         self.est_cfg = est_cfg or est_mod.EstimatorConfig(
@@ -81,6 +82,8 @@ class Pipeline:
         self.estimator = est_mod.Estimator(
             self.est_cfg, *self._ex, imu_params=self._imu_params)
         self._last_event_time = None
+        self._last_v = None
+        self._prev_v = None
 
     def run(self, seq: ds.SequenceData, freq: Optional[float] = None,
             max_frames: Optional[int] = None) -> PipelineResult:
@@ -117,6 +120,27 @@ class Pipeline:
                     last = ts[k]
             prev_t = t
 
+            # optional IMU-aided motion compensation (Do_motion_correction)
+            if cfg.do_motion_correction and seq.imu is not None \
+                    and self._last_v is not None:
+                from esvio_tpu.events.motion import motion_correct_chunk
+                ts_i, accs_i, gyrs_i = ds.imu_between(seq.imu, t - 1.0 / freq, t)
+                if len(ts_i):
+                    omega = jnp.asarray(gyrs_i.mean(0))
+                    accel = jnp.asarray(accs_i.mean(0))
+                    v_cur = jnp.asarray(self._last_v)
+                    v_prev = jnp.asarray(self._prev_v)
+                    t0_win = t - 1.0 / freq
+                    for name, ch, cc in (("l", ch_l, cam_el), ("r", ch_r, cam_er)):
+                        chn = motion_correct_chunk(
+                            ch, cc.fx, cc.fy, cc.cx, cc.cy, omega, v_cur,
+                            v_prev, accel, t0_win, width=cfg.event_width,
+                            height=cfg.event_height)
+                        if name == "l":
+                            ch_l = chn
+                        else:
+                            ch_r = chn
+
             self.tracker_state, pkt_evt = trk.track_event_stereo(
                 self.tracker_cfg, cam_el, cam_er, self.tracker_state,
                 ch_l, ch_r, t)
@@ -135,6 +159,8 @@ class Pipeline:
                         self.img_tracker_state, frame_l, frame_r, t)
 
             out = self.estimator.process_packets(t, pkt_evt, pkt_img)
+            self._prev_v = self._last_v if self._last_v is not None else out.V
+            self._last_v = out.V
             if out.solver_flag == "NON_LINEAR":
                 res.stamps.append(t)
                 res.P.append(out.P)

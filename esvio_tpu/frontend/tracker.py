@@ -52,6 +52,7 @@ class TrackerConfig:
     fb_threshold: float = 0.5
     ransac_hypotheses: int = 128
     use_time_surface_gate: bool = True
+    equalize: bool = False         # CLAHE on time surfaces / frames (EQUALIZE)
 
 
 @jax.tree_util.register_dataclass
@@ -150,6 +151,10 @@ def track_event_stereo(cfg: TrackerConfig, cam_left: CameraModel,
     sae_r, _ = sae_mod.update_sae(state.sae_right, chunk_right, cfg.filter_threshold)
     ts_l = sae_mod.time_surface(sae_l, t_now, cfg.decay_ms, cfg.ignore_polarity)
     ts_r = sae_mod.time_surface(sae_r, t_now, cfg.decay_ms, cfg.ignore_polarity)
+    if cfg.equalize:  # CLAHE (feature_tracker.cpp:375-387)
+        from esvio_tpu.frontend.clahe import clahe as _clahe
+        ts_l = _clahe(ts_l)
+        ts_r = _clahe(ts_r)
     pyr_l = tuple(tuple(x for x in lvl)
                   for lvl in pyramid.build_lk_pyramid(ts_l, cfg.lk_levels))
     pyr_r = tuple(tuple(x for x in lvl)
@@ -316,12 +321,16 @@ def track_image_stereo(cfg: TrackerConfig, cam_left: CameraModel,
     t_now = jnp.asarray(t_now, dtype)
     key, k_ransac = jax.random.split(state.key)
 
+    img_l = img_left.astype(dtype)
+    img_r = img_right.astype(dtype)
+    if cfg.equalize:  # CLAHE (trackImage, feature_tracker.cpp:656)
+        from esvio_tpu.frontend.clahe import clahe as _clahe
+        img_l = _clahe(img_l)
+        img_r = _clahe(img_r)
     pyr_l = tuple(tuple(x for x in lvl)
-                  for lvl in pyramid.build_lk_pyramid(img_left.astype(dtype),
-                                                      cfg.lk_levels))
+                  for lvl in pyramid.build_lk_pyramid(img_l, cfg.lk_levels))
     pyr_r = tuple(tuple(x for x in lvl)
-                  for lvl in pyramid.build_lk_pyramid(img_right.astype(dtype),
-                                                      cfg.lk_levels))
+                  for lvl in pyramid.build_lk_pyramid(img_r, cfg.lk_levels))
 
     cur, st = lk.lk_track(state.prev_pyr, pyr_l, state.pts, state.valid,
                           iters=cfg.lk_iters)
