@@ -1,1 +1,2 @@
-from esvio_tpu.init import alignment, pnp  # noqa: F401
+from esvio_tpu.init import (  # noqa: F401
+    alignment, ex_rotation, pnp, relative_pose, sfm)

@@ -13,9 +13,10 @@ Host Python handles only control flow (the reference does the same with
 if/else on flags); every numeric kernel is jit-compiled with static shapes.
 
 Differences vs the reference, by design:
-  * initialization visual odometry uses stereo-depth PnP chaining instead of
-    GlobalSFM's 5-pt + BA (same role; SFM path is used only when stereo depth
-    is unavailable — mono init is future work, estimator.cpp:415-558).
+  * initialization visual odometry uses stereo-depth PnP chaining first
+    (initialStructureStereo); when stereo depth is unavailable or the chain
+    breaks it falls back to the monocular GlobalSFM + with-scale alignment
+    path (initialStructure, estimator.cpp:415-558).
   * features without valid depth are excluded from the problem instead of
     entering with INIT_DEPTH = -1 (they are recovered by triangulation later).
 """
@@ -30,7 +31,7 @@ import jax.numpy as jnp
 
 from esvio_tpu.core import lie
 from esvio_tpu.imu import preintegration as pre
-from esvio_tpu.init import alignment, pnp
+from esvio_tpu.init import alignment, pnp, sfm
 from esvio_tpu.solver import gauss_newton as gn
 from esvio_tpu.solver import marginalization as marg
 from esvio_tpu.solver import window as win
@@ -244,7 +245,7 @@ class Estimator:
             if fc < WINDOW:
                 self.frame_count += 1
                 return self._output(t, marg_flag)
-            ok = self._try_initialize()
+            ok = self._try_initialize() or self._try_initialize_mono()
             if not ok:
                 self._slide(MARGIN_OLD, skip_marg=True)
                 return self._output(t, marg_flag)
@@ -386,7 +387,14 @@ class Estimator:
                 print(f"init: alignment failed, |g|={float(jnp.linalg.norm(g_b0)):.3f}")
             return False
 
-        # gravity-align the world frame (visualInitialAlignWithDepth :1197-1262)
+        return self._apply_alignment(Rs_body, T_cam, v_body, g_b0, bg, tex_n)
+
+    def _apply_alignment(self, Rs_body, T_cam, v_body, g_b0, bg, tex_n) -> bool:
+        """Gravity-align the world frame and write the window state
+        (visualInitialAlign{,WithDepth}, estimator.cpp:1197-1262).  T_cam are
+        metric camera centers in the c0 visual frame; v_body body-frame
+        velocities; g_b0 gravity in c0."""
+        dt = self.cfg.dtype
         R0 = np.asarray(lie.g2R(g_b0))
         yaw = np.asarray(lie.rot_to_ypr(jnp.asarray(
             R0 @ Rs_body[0], dt)))[0]
@@ -415,6 +423,60 @@ class Estimator:
             depth_valid=jnp.zeros_like(self.book_evt.depth_valid),
             inv_depth=jnp.zeros_like(self.book_evt.inv_depth))
         return True
+
+    def _try_initialize_mono(self) -> bool:
+        """Monocular fallback: global SFM (up to scale) + with-scale
+        visual-IMU alignment (initialStructure, estimator.cpp:415-558 +
+        visualInitialAlign).  Used when stereo depth is unavailable or the
+        stereo PnP chain breaks."""
+        cfg = self.cfg
+        dt = cfg.dtype
+        book = self.book_evt if cfg.mode == "esio" or not bool(
+            jnp.any(self.book_img.active)) else self.book_img
+        ex_idx = 1 if book is self.book_evt else 0
+        Rex = lie.quat_to_rot(self.ws.ex_q[ex_idx])
+        tex = self.ws.ex_p[ex_idx]
+
+        obs = np.asarray(book.un)                       # (L, F, 2)
+        mask = np.asarray(book.obs) & np.asarray(book.active)[:, None]
+        key = jax.random.PRNGKey(int(self.timestamps[0] * 1e3) & 0x7FFFFFFF)
+        l, R_rel, t_rel = sfm.find_frame_l(key, obs, mask)
+        if l is None:
+            if getattr(self, "debug", False):
+                print("mono init: no frame with enough parallax")
+            return False
+        ok, R_wc, t_wc, _, _ = sfm.construct(
+            key, obs, mask, l, R_rel, t_rel,
+            debug=getattr(self, "debug", False))
+        if not ok:
+            return False
+
+        Rex_n = np.asarray(Rex)
+        tex_n = np.asarray(tex)
+        # cam→c0 rotations / camera centers from world→cam SFM output
+        R_cw = np.transpose(R_wc, (0, 2, 1))
+        C = -np.einsum("fij,fj->fi", R_cw, t_wc)
+        Rs_body = np.einsum("fij,kj->fik", R_cw, Rex_n)   # R_cw @ Rexᵀ
+
+        preints = self._preintegrate_all(ba=np.zeros(3), bg=np.zeros(3))
+        dbg = alignment.solve_gyroscope_bias(
+            jnp.asarray(Rs_body, dt),
+            preints.jacobian[:, pre.O_R:pre.O_R + 3, pre.O_BG:pre.O_BG + 3],
+            preints.delta_q)
+        bg = np.asarray(dbg)
+        preints = self._preintegrate_all(ba=np.zeros(3), bg=bg)
+
+        ok, g_b0, v_body, s = alignment.linear_alignment(
+            jnp.asarray(Rs_body, dt), jnp.asarray(C, dt),
+            preints.delta_p, preints.delta_v, preints.sum_dt,
+            jnp.asarray(tex_n, dt), cfg.g_norm)
+        if not bool(ok) or float(s) <= 0:
+            if getattr(self, "debug", False):
+                print(f"mono init: alignment failed "
+                      f"(|g|={float(jnp.linalg.norm(g_b0)):.3f}, s={float(s):.3f})")
+            return False
+        return self._apply_alignment(
+            Rs_body, float(s) * C, v_body, g_b0, bg, tex_n)
 
     # ------------------------------------------------------------- helpers
     def _triangulate(self):

@@ -146,3 +146,38 @@ def test_esio_handles_feature_dropout():
     assert outs[-1].solver_flag == "NON_LINEAR"
     err = np.linalg.norm(outs[-1].P - traj["P"][n_frames - 1])
     assert err < 0.25, err
+
+
+@pytest.mark.slow
+def test_mono_init_fallback():
+    """With no right-camera observations the stereo bootstrap cannot run;
+    the estimator must initialize through the monocular GlobalSFM +
+    with-scale alignment path (initialStructure, estimator.cpp:415-558)."""
+    rng = np.random.default_rng(7)
+    n_frames = 26
+    traj = simulate_trajectory(rng, n_frames=n_frames, imu_per_frame=10,
+                               frame_dt=0.05)
+    lms = make_world(rng, traj)
+    ex_p = np.array([[0, 0, 0], [0, 0, 0],
+                     [BASELINE, 0, 0], [BASELINE, 0, 0]], float)
+    ex_q = np.tile(np.array([1.0, 0, 0, 0]), (4, 1))
+    cfg = est_mod.EstimatorConfig(mode="esio", evt_capacity=128,
+                                  img_capacity=8, min_track_for_kf=15)
+    est = est_mod.Estimator(cfg, ex_p, ex_q)
+    seen = set()
+    k_imu = traj["imu_per_frame"]
+    outs = []
+    for f in range(n_frames):
+        if f > 0:
+            for s in range(k_imu):
+                i = (f - 1) * k_imu + s + 1
+                est.process_imu(traj["dt"], traj["imu_acc"][i], traj["imu_gyr"][i])
+        pkt, seen = packet_for_frame(traj, f, lms, seen, 0.3 / 460.0, rng)
+        pkt.right_valid[:] = False          # kill stereo entirely
+        out = est.process_packets(traj["t"][f], pkt)
+        outs.append(out)
+    flags = [o.solver_flag for o in outs]
+    assert "NON_LINEAR" in flags, "mono fallback never initialized"
+    first_nl = flags.index("NON_LINEAR")
+    err = np.linalg.norm(outs[-1].P - traj["P"][n_frames - 1])
+    assert err < 0.4, (first_nl, err)
