@@ -42,18 +42,22 @@ def main():
         state, _ = sae_mod.update_sae(state, chunk, 0.01)
         ts = sae_mod.time_surface(state, t_now, 20.0, False)
         corners = cor_mod.detect_corners(state, chunk, 10)
-        return state, ts, corners
+        # scalar digest: fetching it from the host is a REAL device sync —
+        # under the axon tunnel jax.block_until_ready returns before the
+        # computation finishes, so timing must end on a host fetch.
+        digest = ts.sum() + corners.sum()
+        return state, digest
 
     # warm up
-    out = frontend(state, chunk, 1.05)
-    jax.block_until_ready(out)
+    st, digest = frontend(state, chunk, 1.05)
+    float(digest)
 
     iters = 20
     t0 = time.perf_counter()
     st = state
     for i in range(iters):
-        st, ts, corners = frontend(st, chunk, 1.05)
-    jax.block_until_ready((st, ts, corners))
+        st, digest = frontend(st, chunk, 1.05)
+    float(digest)                      # FIFO queue ⇒ syncs all iterations
     dt_frontend = (time.perf_counter() - t0) / iters
     events_per_sec = E / dt_frontend
 
@@ -63,12 +67,12 @@ def main():
 
     args = _make_problem(jnp.float32, L_img=64, L_evt=128)
     out = solve_window(*args, iters=8)
-    jax.block_until_ready(out)
+    float(out[3].sum())                # real sync (see digest note above)
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
         out = solve_window(*args, iters=8)
-    jax.block_until_ready(out)
+    float(out[3].sum())
     solve_ms = (time.perf_counter() - t0) / reps * 1000.0
 
     baseline_events = 10e6  # 5× real-time 2 Mev/s stereo stream (BASELINE.md)

@@ -21,6 +21,7 @@ from esvio_tpu.frontend import tracker as trk
 from esvio_tpu.io import datasets as ds
 from esvio_tpu.io import trajectory as traj_io
 from esvio_tpu.io.config import SystemConfig, extrinsic_arrays
+from esvio_tpu.utils.metrics import Metrics, StageTimer
 from esvio_tpu.vio import estimator as est_mod
 
 
@@ -31,6 +32,8 @@ class PipelineResult:
     Q: List[np.ndarray]
     V: List[np.ndarray]
     n_restarts: int = 0
+    metrics: Optional[dict] = None
+    stage_times: Optional[dict] = None
 
     def ate(self, gt_t, gt_P, alignment="yaw"):
         return traj_io.ate_rmse(np.asarray(self.stamps), np.asarray(self.P),
@@ -90,6 +93,8 @@ class Pipeline:
         cfg = self.sys_cfg
         freq = freq or cfg.freq
         res = PipelineResult([], [], [], [])
+        tim = StageTimer()
+        met = Metrics()
 
         chunks_l = ds.iterate_chunks(seq.events_left, freq, self.event_capacity)
         chunks_r = ds.iterate_chunks(seq.events_right, freq, self.event_capacity)
@@ -141,9 +146,12 @@ class Pipeline:
                         else:
                             ch_r = chn
 
-            self.tracker_state, pkt_evt = trk.track_event_stereo(
-                self.tracker_cfg, cam_el, cam_er, self.tracker_state,
-                ch_l, ch_r, t)
+            with tim("frontend_event"):
+                self.tracker_state, pkt_evt = trk.track_event_stereo(
+                    self.tracker_cfg, cam_el, cam_er, self.tracker_state,
+                    ch_l, ch_r, t)
+            met.count("events", float(np.sum(np.asarray(ch_l.valid)))
+                      + float(np.sum(np.asarray(ch_r.valid))))
 
             pkt_img = None
             if cfg.system_mode == 1 and imgs is not None:
@@ -154,11 +162,18 @@ class Pipeline:
                     frame_l = jnp.asarray(imgs[1][img_idx], jnp.float32)
                     frame_r = jnp.asarray(seq.images_right[1][img_idx],
                                           jnp.float32)
-                    self.img_tracker_state, pkt_img = trk.track_image_stereo(
-                        self.tracker_cfg, cam_il, cam_ir,
-                        self.img_tracker_state, frame_l, frame_r, t)
+                    with tim("frontend_image"):
+                        self.img_tracker_state, pkt_img = trk.track_image_stereo(
+                            self.tracker_cfg, cam_il, cam_ir,
+                            self.img_tracker_state, frame_l, frame_r, t)
 
-            out = self.estimator.process_packets(t, pkt_evt, pkt_img)
+            with tim("estimator"):
+                out = self.estimator.process_packets(t, pkt_evt, pkt_img)
+            met.count("ticks")
+            met.observe("tracked_features",
+                        float(np.sum(np.asarray(pkt_evt.valid))))
+            met.gauge("solver_flag_nonlinear",
+                      1.0 if out.solver_flag == "NON_LINEAR" else 0.0)
             self._prev_v = self._last_v if self._last_v is not None else out.V
             self._last_v = out.V
             if out.solver_flag == "NON_LINEAR":
@@ -169,4 +184,6 @@ class Pipeline:
             n += 1
             if max_frames and n >= max_frames:
                 break
+        res.metrics = met.summary()
+        res.stage_times = tim.report()
         return res

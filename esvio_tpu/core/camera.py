@@ -29,6 +29,7 @@ import jax.numpy as jnp
 PINHOLE = 0
 EQUIDISTANT = 1
 MEI = 2
+SCARAMUZZA = 3
 
 
 @jax.tree_util.register_dataclass
@@ -51,6 +52,14 @@ class CameraModel:
     cy: jnp.ndarray
     dist: jnp.ndarray
     xi: jnp.ndarray
+    # Scaramuzza/OCam extras (zeros for other models): forward polynomial
+    # z(φ) (5,), inverse polynomial ρ(θ) (20,), affine [C, D, E]
+    poly: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros(5, jnp.float32))
+    inv_poly: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros(20, jnp.float32))
+    affine: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
     kind: int = dataclasses.field(metadata=dict(static=True), default=PINHOLE)
     width: int = dataclasses.field(metadata=dict(static=True), default=346)
     height: int = dataclasses.field(metadata=dict(static=True), default=260)
@@ -83,6 +92,24 @@ def make_mei(xi, fx, fy, cx, cy, dist=(0.0, 0.0, 0.0, 0.0), width=346, height=26
         cx=jnp.asarray(cx, dtype), cy=jnp.asarray(cy, dtype),
         dist=jnp.asarray(dist, dtype), xi=jnp.asarray(xi, dtype),
         kind=MEI, width=width, height=height,
+    )
+
+
+def make_scaramuzza(poly, inv_poly, cx, cy, affine=(1.0, 0.0, 0.0),
+                    width=640, height=480, dtype=jnp.float32) -> CameraModel:
+    """OCam/Scaramuzza omnidirectional polynomial model
+    (ScaramuzzaCamera.h:13-16: 5 forward + 20 inverse coefficients,
+    center, affine C/D/E)."""
+    poly = jnp.asarray(poly, dtype)
+    inv_poly = jnp.asarray(inv_poly, dtype)
+    poly = jnp.zeros(5, dtype).at[: poly.shape[0]].set(poly[:5])
+    inv_poly = jnp.zeros(20, dtype).at[: inv_poly.shape[0]].set(inv_poly[:20])
+    return CameraModel(
+        fx=jnp.asarray(1.0, dtype), fy=jnp.asarray(1.0, dtype),
+        cx=jnp.asarray(cx, dtype), cy=jnp.asarray(cy, dtype),
+        dist=jnp.zeros(4, dtype), xi=jnp.asarray(0.0, dtype),
+        poly=poly, inv_poly=inv_poly, affine=jnp.asarray(affine, dtype),
+        kind=SCARAMUZZA, width=width, height=height,
     )
 
 
@@ -193,6 +220,44 @@ def _mei_project(cam: CameraModel, xyz):
     )
 
 
+def _scara_lift(cam: CameraModel, uv):
+    """OCAMCamera::liftProjective (ScaramuzzaCamera.cc:599-622).
+
+    OCam convention: ray (xc, yc, -z(φ)) with z from the forward polynomial
+    on the affine-corrected radius; the camera looks along -z of the OCam
+    frame, so the returned ray's z is positive for points in front."""
+    C, D, E = cam.affine[0], cam.affine[1], cam.affine[2]
+    xc = uv[..., 0] - cam.cx
+    yc = uv[..., 1] - cam.cy
+    inv_scale = 1.0 / (C - D * E)
+    xa = inv_scale * (xc - D * yc)
+    ya = inv_scale * (-E * xc + C * yc)
+    phi = jnp.sqrt(xa * xa + ya * ya)
+    z = jnp.zeros_like(phi)
+    phi_i = jnp.ones_like(phi)
+    for i in range(5):
+        z = z + phi_i * cam.poly[i]
+        phi_i = phi_i * phi
+    return jnp.stack([xc, yc, -z], axis=-1)
+
+
+def _scara_project(cam: CameraModel, xyz):
+    """OCAMCamera::spaceToPlane (ScaramuzzaCamera.cc:632-653)."""
+    C, D, E = cam.affine[0], cam.affine[1], cam.affine[2]
+    norm = jnp.sqrt(xyz[..., 0] ** 2 + xyz[..., 1] ** 2)
+    theta = jnp.arctan2(-xyz[..., 2], norm)
+    rho = jnp.zeros_like(theta)
+    theta_i = jnp.ones_like(theta)
+    for i in range(20):
+        rho = rho + theta_i * cam.inv_poly[i]
+        theta_i = theta_i * theta
+    inv_norm = 1.0 / jnp.maximum(norm, 1e-12)
+    xn = xyz[..., 0] * inv_norm * rho
+    yn = xyz[..., 1] * inv_norm * rho
+    return jnp.stack([xn * C + yn * D + cam.cx,
+                      xn * E + yn + cam.cy], axis=-1)
+
+
 def lift_projective(cam: CameraModel, uv):
     """Pixel (..., 2) → normalized projective ray (..., 3) with z = 1."""
     if cam.kind == PINHOLE:
@@ -202,6 +267,9 @@ def lift_projective(cam: CameraModel, uv):
         return ray / ray[..., 2:3]
     if cam.kind == MEI:
         return _mei_lift(cam, uv)
+    if cam.kind == SCARAMUZZA:
+        ray = _scara_lift(cam, uv)
+        return ray / ray[..., 2:3]
     raise ValueError(f"unknown camera kind {cam.kind}")
 
 
@@ -213,4 +281,6 @@ def space_to_plane(cam: CameraModel, xyz):
         return _equi_project(cam, xyz)
     if cam.kind == MEI:
         return _mei_project(cam, xyz)
+    if cam.kind == SCARAMUZZA:
+        return _scara_project(cam, xyz)
     raise ValueError(f"unknown camera kind {cam.kind}")

@@ -37,25 +37,27 @@ _LARGE_MIN, _LARGE_MAX = 5, 8    # event_detector.cc:331-332
 
 
 def _take(vals, idx, n):
-    """vals[e, idx[e]] without gathers: one-hot select on the VPU.
+    """vals[..., idx[...]] without gathers: one-hot select on the VPU.
 
-    (E, N) small circles make this 2N flops/lane — far cheaper on TPU than a
-    batched per-lane dynamic gather.
+    Small circles (N≤20) make this 2N flops/lane — far cheaper on TPU than a
+    batched per-lane dynamic gather.  Works for any leading shape (event
+    batches or dense image tiles).
     """
-    lane = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
-    return jnp.sum(jnp.where(lane == idx[:, None], vals, 0.0), axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, vals.shape, vals.ndim - 1)
+    return jnp.sum(jnp.where(lane == idx[..., None], vals, 0.0), axis=-1)
 
 
 def _newest_segment_size(vals, min_thresh: int):
     """Greedy newest-arc expansion (event_detector.cc:337-426), batched.
 
-    vals: (E, N) SAE times on the circle per event, circle order.  Exactly
-    the reference's two-phase sequential expansion, expressed as fixed-trip
-    loops over (E,)-shaped lane state — one VPU pass per step, no gathers.
+    vals: (..., N) SAE times on the circle, circle order.  Exactly the
+    reference's two-phase sequential expansion, expressed as fixed-trip
+    loops over (...)-shaped lane state — one VPU pass per step, no gathers.
     """
-    E, n = vals.shape
-    start = jnp.argmax(vals, axis=1).astype(jnp.int32)  # first strict max
-    seg_min = jnp.max(vals, axis=1)
+    n = vals.shape[-1]
+    lead = vals.shape[:-1]
+    start = jnp.argmax(vals, axis=-1).astype(jnp.int32)  # first strict max
+    seg_min = jnp.max(vals, axis=-1)
     right = (start + 1) % n
     left = (start - 1 + n) % n
     right_val = _take(vals, right, n)
@@ -83,7 +85,7 @@ def _newest_segment_size(vals, min_thresh: int):
     state = (seg_min, right, left, right_val, left_val, right_min, left_min)
     state = jax.lax.fori_loop(1, min_thresh, phase1, state, unroll=True)
     seg_min, right, left, right_val, left_val, right_min, left_min = state
-    seg_size = jnp.full((E,), min_thresh, jnp.int32)
+    seg_size = jnp.full(lead, min_thresh, jnp.int32)
 
     def phase2(i, s):
         seg_min, seg_size, right, left, right_val, left_val, right_min, left_min = s
@@ -111,7 +113,7 @@ def _newest_segment_size(vals, min_thresh: int):
 
 
 def _circle_ok(vals, min_thresh: int, max_thresh: int):
-    n = vals.shape[1]
+    n = vals.shape[-1]
     size = _newest_segment_size(vals, min_thresh)
     return (size <= max_thresh) | ((size >= n - max_thresh) & (size <= n - min_thresh))
 
@@ -131,8 +133,19 @@ def _rolled_circle(sae, circle):
     return jnp.stack(shifts, axis=-1)
 
 
-def corner_mask(state: SAEState):
-    """(2, H, W) bool — Arc* corner test evaluated densely at every pixel."""
+def corner_mask(state: SAEState, impl: str = "auto"):
+    """(2, H, W) bool — Arc* corner test evaluated densely at every pixel.
+
+    impl: "pallas" (tiled VMEM kernel, TPU only — no 36-plane HBM
+    materialization), "xla" (rolled dense planes), or "auto" (pallas on TPU,
+    xla elsewhere; override with ESVIO_CORNER_IMPL)."""
+    import os
+    if impl == "auto":
+        impl = os.environ.get("ESVIO_CORNER_IMPL") or (
+            "pallas" if jax.default_backend() == "tpu" else "xla")
+    if impl == "pallas":
+        from esvio_tpu.events import corners_pallas
+        return corners_pallas.corner_mask_pallas(state.sae)
     small = _rolled_circle(state.sae, SMALL_CIRCLE).reshape(-1, 16)
     ok_s = _circle_ok(small, _SMALL_MIN, _SMALL_MAX)
     large = _rolled_circle(state.sae, LARGE_CIRCLE).reshape(-1, 20)
@@ -146,13 +159,27 @@ def _corner_batch(state: SAEState, W, H, xs, ys, ps):
     return mask[jnp.clip(idx, 0, 2 * W * H - 1)]
 
 
+def accept_table(state: SAEState, impl: str = "auto"):
+    """(2, H, W) bool — dense fusion of the Arc* corner mask with the
+    harvest-filter polarity gate (isCorner's opening rejection,
+    event_detector.cc:315-317): plane p is True where the pixel is a corner
+    AND its most recent event has polarity p.  Lets per-event classification
+    be a single gather instead of three."""
+    mask = corner_mask(state, impl)
+    newest_is_p = jnp.stack([
+        ~(state.sae_latest[1] > state.sae_latest[0]),   # p = 0
+        ~(state.sae_latest[0] > state.sae_latest[1]),   # p = 1
+    ])
+    return mask & newest_is_p
+
+
 @functools.partial(jax.jit, static_argnames=("min_dist",))
 def detect_corners(state: SAEState, chunk: EventChunk, min_dist: int = 10):
     """Batched Arc* corner test for every event in the chunk.
 
     Returns (E,) bool — True where the event passes the harvest filter, the
     border check (kBorderLimit = min_dist + 1, event_detector.cc:320-324) and
-    both circle arc criteria.
+    both circle arc criteria.  One fused per-event gather from accept_table.
     """
     H, W = state.sae.shape[1:]
     border = min_dist + 1
@@ -160,8 +187,7 @@ def detect_corners(state: SAEState, chunk: EventChunk, min_dist: int = 10):
         (chunk.x >= border) & (chunk.x < W - border)
         & (chunk.y >= border) & (chunk.y < H - border)
     )
-    admitted = harvest_filter(state, chunk) & in_border
-
-    is_corner = _corner_batch(state, W, H, jnp.clip(chunk.x, 0, W - 1),
-                              jnp.clip(chunk.y, 0, H - 1), chunk.p)
-    return admitted & is_corner
+    table = accept_table(state).reshape(-1)
+    idx = chunk.p * (H * W) + jnp.clip(chunk.y, 0, H - 1) * W \
+        + jnp.clip(chunk.x, 0, W - 1)
+    return table[idx] & in_border & chunk.valid

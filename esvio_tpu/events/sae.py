@@ -97,8 +97,10 @@ def prev_event_times(state: SAEState, chunk: EventChunk):
     prev_pos = jnp.maximum(prev_pos_chunk, carried_pos)
     prev_neg = jnp.maximum(prev_neg_chunk, carried_neg)
 
-    # un-sort back to chunk order
-    inv = jnp.argsort(order)
+    # un-sort back to chunk order (scatter-inverse: cheaper than a 2nd sort)
+    E = order.shape[0]
+    iota = jnp.arange(E, dtype=jnp.int32)
+    inv = jnp.zeros((E,), jnp.int32).at[order].set(iota)
     prev_pos = prev_pos[inv]
     prev_neg = prev_neg[inv]
     prev_same = jnp.where(chunk.p == 1, prev_pos, prev_neg)
@@ -106,24 +108,77 @@ def prev_event_times(state: SAEState, chunk: EventChunk):
     return prev_same, prev_inv
 
 
-def update_sae(state: SAEState, chunk: EventChunk,
-               filter_threshold: float) -> Tuple[SAEState, jnp.ndarray]:
-    """Apply one event chunk to the SAE.  Returns (new_state, accepted_mask)."""
+def _segmented_exclusive_max2(val_a, val_b, seg_start):
+    """Two segmented exclusive max-scans fused into one associative pass."""
+
+    def combine(x, y):
+        fx, ax, bx = x
+        fy, ay, by = y
+        return (fx | fy,
+                jnp.where(fy, ay, jnp.maximum(ax, ay)),
+                jnp.where(fy, by, jnp.maximum(bx, by)))
+
+    _, inc_a, inc_b = jax.lax.associative_scan(
+        combine, (seg_start, val_a, val_b))
+    neg = jnp.full((1,), _NEG, val_a.dtype)
+    exc_a = jnp.where(seg_start, _NEG, jnp.concatenate([neg, inc_a[:-1]]))
+    exc_b = jnp.where(seg_start, _NEG, jnp.concatenate([neg, inc_b[:-1]]))
+    return exc_a, exc_b
+
+
+def update_sae(state: SAEState, chunk: EventChunk, filter_threshold: float,
+               return_accepted: bool = False) -> Tuple[SAEState, jnp.ndarray]:
+    """Apply one event chunk to the SAE.  Returns (new_state, accepted_mask).
+
+    All per-event work happens in the pixel-sorted domain: the scatter-max
+    updates are order-independent, so the inverse permutation back to chunk
+    order (a second full-size scatter + two gathers) is only materialized
+    when `return_accepted` is requested (downstream consumers use the dense
+    tables, not the per-event mask)."""
     H, W = state.sae.shape[1:]
-    prev_same, prev_inv = prev_event_times(state, chunk)
-    accepted = (chunk.t > prev_same + filter_threshold) | (prev_inv > prev_same)
-    accepted = accepted & chunk.valid
+    HW = H * W
+    E = chunk.t.shape[0]
+    pix = jnp.where(chunk.valid, chunk.y * W + chunk.x, HW)
+    # one fused stable sort carrying all payloads (cheaper than argsort +
+    # three permute-gathers); iota payload only if the caller needs the
+    # accepted mask back in chunk order
+    iota = jnp.arange(E, dtype=jnp.int32)
+    if return_accepted:
+        pix_s, t_s, p_s, order = jax.lax.sort(
+            (pix, chunk.t, chunk.p, iota), num_keys=1, is_stable=True)
+    else:
+        pix_s, t_s, p_s = jax.lax.sort(
+            (pix, chunk.t, chunk.p), num_keys=1, is_stable=True)
 
-    flat_idx = chunk.p * (H * W) + chunk.y * W + chunk.x
-    flat_idx = jnp.where(chunk.valid, flat_idx, 0)
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]])
+    val_pos = jnp.where(p_s == 1, t_s, _NEG)
+    val_neg = jnp.where(p_s == 0, t_s, _NEG)
+    prev_pos, prev_neg = _segmented_exclusive_max2(val_pos, val_neg, seg_start)
 
-    t_all = jnp.where(chunk.valid, chunk.t, _NEG)
-    latest = state.sae_latest.reshape(-1).at[flat_idx].max(t_all, mode="drop")
-    t_acc = jnp.where(accepted, chunk.t, _NEG)
-    filtered = state.sae.reshape(-1).at[flat_idx].max(t_acc, mode="drop")
+    safe_pix = jnp.minimum(pix_s, HW - 1)
+    prev_pos = jnp.maximum(prev_pos, state.sae_latest[1].reshape(-1)[safe_pix])
+    prev_neg = jnp.maximum(prev_neg, state.sae_latest[0].reshape(-1)[safe_pix])
+    prev_same = jnp.where(p_s == 1, prev_pos, prev_neg)
+    prev_inv = jnp.where(p_s == 1, prev_neg, prev_pos)
 
+    valid_s = pix_s < HW
+    accepted_s = ((t_s > prev_same + filter_threshold)
+                  | (prev_inv > prev_same)) & valid_s
+
+    flat_s = p_s * HW + safe_pix
+    t_all = jnp.where(valid_s, t_s, _NEG)
+    latest = state.sae_latest.reshape(-1).at[flat_s].max(t_all, mode="drop")
+    t_acc = jnp.where(accepted_s, t_s, _NEG)
+    filtered = state.sae.reshape(-1).at[flat_s].max(t_acc, mode="drop")
+
+    if return_accepted:
+        accepted = jnp.zeros((E,), bool).at[order].set(accepted_s)
+    else:
+        accepted = accepted_s  # sorted order; callers above ignore it
     return (
-        SAEState(sae=filtered.reshape(2, H, W), sae_latest=latest.reshape(2, H, W)),
+        SAEState(sae=filtered.reshape(2, H, W),
+                 sae_latest=latest.reshape(2, H, W)),
         accepted,
     )
 

@@ -140,6 +140,19 @@ def load_camera_yaml(path):
             cx=pp["u0"], cy=pp["v0"],
             dist=(dp.get("k1", 0.0), dp.get("k2", 0.0),
                   dp.get("p1", 0.0), dp.get("p2", 0.0)), width=W, height=H)
+    if model == "SCARAMUZZA":
+        # OCam YAML layout (ScaramuzzaCamera.cc:89-103): poly_parameters
+        # p0..p4, inv_poly_parameters p0..p19, affine_parameters ac/ad/ae +
+        # center cx/cy (the center lives inside affine_parameters)
+        pp = d.get("poly_parameters", {})
+        ip = d.get("inv_poly_parameters", {})
+        ap = d.get("affine_parameters", {})
+        poly = [pp.get(f"p{i}", 0.0) for i in range(5)]
+        inv_poly = [ip.get(f"p{i}", 0.0) for i in range(20)]
+        return cam_mod.make_scaramuzza(
+            poly, inv_poly, cx=ap.get("cx", W / 2), cy=ap.get("cy", H / 2),
+            affine=(ap.get("ac", 1.0), ap.get("ad", 0.0), ap.get("ae", 0.0)),
+            width=W, height=H)
     raise ValueError(f"unsupported camera model {model}")
 
 

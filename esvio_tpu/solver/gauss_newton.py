@@ -79,28 +79,23 @@ def _scatter_rows(J, rows, cols, vals):
     return J.at[rows[:, :, None], cols[:, None, :]].add(vals)
 
 
-def linearize(state: WindowState, book_img: FeatureBook, book_evt: FeatureBook,
-              preints: pre.Preintegrated, imu_valid, prior: Prior, g,
-              cauchy_c: float = 1.0, with_jac: bool = True):
-    """Build (J, r) of the whole problem.  Masked rows are exactly zero.
+def factor_blocks(state: WindowState, book_img: FeatureBook,
+                  book_evt: FeatureBook, preints: pre.Preintegrated,
+                  imu_valid, prior: Prior, g, cauchy_c: float = 1.0,
+                  with_jac: bool = True):
+    """Evaluate every factor family as weighted dense blocks.
 
-    preints: stacked Preintegrated with leading axis 10 (interval k → k+1).
-    imu_valid: (10,) bool (sum_dt ≤ 10 s gate, estimator.cpp:1889).
-    Returns (J, r, n_landmark_cols). If with_jac=False, J is None (cost eval).
+    Returns (blocks, (r_prior, J_prior), L_tot) where blocks is a list of
+    (r (N, k), J (N, k, d) | None, cols (N, d) int32) with masks/robust
+    weights already folded into r and J.  Shared by the big-J `linearize`
+    (marginalization, tests) and the block-wise `assemble_normal`
+    (solver hot loop).
     """
     dtype = state.P.dtype
     L_img = book_img.un.shape[0]
     L_evt = book_evt.un.shape[0]
-    L_tot = L_img + L_evt
     F = N_STATES
-
-    n_rows_imu = WINDOW * 15
-    n_rows_book = lambda L: L * F * 2 + L * F * 2 + L * 2
-    R = n_rows_imu + n_rows_book(L_img) + n_rows_book(L_evt) + DIM_ALL
-    C = DIM_ALL + L_tot
-
-    r_all = jnp.zeros((R,), dtype)
-    J_all = jnp.zeros((R, C), dtype) if with_jac else None
+    blocks = []
 
     # ---------------- IMU factors ------------------------------------------
     Pi, Pj = state.P[:-1], state.P[1:]
@@ -120,23 +115,22 @@ def linearize(state: WindowState, book_img: FeatureBook, book_evt: FeatureBook,
         J_imu = None
     m = imu_valid[:, None].astype(dtype)
     r_imu = r_imu * m
-    rows_imu = (jnp.arange(WINDOW)[:, None] * 15 + jnp.arange(15)[None, :])
-    r_all = r_all.at[rows_imu].set(r_imu)
+    i_idx = jnp.arange(WINDOW)
+    a6 = jnp.arange(6)[None, :]
+    a9 = jnp.arange(9)[None, :]
+    cols_imu = jnp.concatenate([
+        i_idx[:, None] * 6 + a6,
+        OFF_SB + i_idx[:, None] * 9 + a9,
+        (i_idx + 1)[:, None] * 6 + a6,
+        OFF_SB + (i_idx + 1)[:, None] * 9 + a9,
+    ], axis=1)
     if with_jac:
         J_imu = J_imu * m[:, :, None]
-        i_idx = jnp.arange(WINDOW)
-        cols_pi = (i_idx[:, None] * 6 + jnp.arange(6)[None, :])
-        cols_si = (OFF_SB + i_idx[:, None] * 9 + jnp.arange(9)[None, :])
-        cols_pj = ((i_idx + 1)[:, None] * 6 + jnp.arange(6)[None, :])
-        cols_sj = (OFF_SB + (i_idx + 1)[:, None] * 9 + jnp.arange(9)[None, :])
-        J_all = _scatter_rows(J_all, rows_imu, cols_pi, J_imu[:, :, 0:6])
-        J_all = _scatter_rows(J_all, rows_imu, cols_si, J_imu[:, :, 6:15])
-        J_all = _scatter_rows(J_all, rows_imu, cols_pj, J_imu[:, :, 15:21])
-        J_all = _scatter_rows(J_all, rows_imu, cols_sj, J_imu[:, :, 21:30])
+    blocks.append((r_imu, J_imu, cols_imu))
 
     # ---------------- projection factors per book --------------------------
-    def add_book(r_all, J_all, book: FeatureBook, ex_left: int, ex_right: int,
-                 row_base: int, lm_base: int):
+    def book_blocks(book: FeatureBook, ex_left: int, ex_right: int,
+                    lm_base: int):
         L = book.un.shape[0]
         gate = _book_gate(book)
         start = start_frame(book)
@@ -173,11 +167,10 @@ def linearize(state: WindowState, book_img: FeatureBook, book_evt: FeatureBook,
                 Pi_, Qi_, Pj_, Qj_, exl_p, exl_q, lam, state.td,
                 pti, veli, tdi, ptj, velj, tdj), None
 
-        out = jax.vmap(mono_one)(
+        r_mono, J_mono = jax.vmap(mono_one)(
             Pi_f, Qi_f, Pj_f, Qj_f, lam_f, pt_i_f, vel_i_f, td_i_f,
             flat(book.un), flat(book.vel), flat(book.td_obs),
         )
-        r_mono, J_mono = out
 
         def cross_one(Pi_, Qi_, Pj_, Qj_, lam, pti, veli, tdi, ptj, velj, tdj):
             if with_jac:
@@ -188,11 +181,10 @@ def linearize(state: WindowState, book_img: FeatureBook, book_evt: FeatureBook,
                 Pi_, Qi_, Pj_, Qj_, exl_p, exl_q, exr_p, exr_q, lam, state.td,
                 pti, veli, tdi, ptj, velj, tdj), None
 
-        out = jax.vmap(cross_one)(
+        r_cross, J_cross = jax.vmap(cross_one)(
             Pi_f, Qi_f, Pj_f, Qj_f, lam_f, pt_i_f, vel_i_f, td_i_f,
             flat(book.un_r), flat(book.vel_r), flat(book.td_obs),
         )
-        r_cross, J_cross = out
 
         pt_j_static = jnp.take_along_axis(
             book.un_r, jnp.broadcast_to(start[:, None, None], (L, 1, 2)), 1)[:, 0]
@@ -207,9 +199,8 @@ def linearize(state: WindowState, book_img: FeatureBook, book_evt: FeatureBook,
                 exl_p, exl_q, exr_p, exr_q, lam, state.td,
                 pti, veli, tdi, ptj, velj, tdj), None
 
-        out = jax.vmap(static_one)(
+        r_static, J_static = jax.vmap(static_one)(
             inv_dep, pt_i, vel_i, td_i, pt_j_static, vel_j_static, td_i)
-        r_static, J_static = out
 
         # Cauchy IRLS weights on the weighted residual (Ceres loss semantics)
         def wrow(r, mask):
@@ -223,83 +214,139 @@ def linearize(state: WindowState, book_img: FeatureBook, book_evt: FeatureBook,
         r_mono = r_mono * w_mono
         r_cross = r_cross * w_cross
         r_static = r_static * w_static
-
-        rows_mono = row_base + (jnp.arange(L * F)[:, None] * 2 + jnp.arange(2))
-        rows_cross = row_base + L * F * 2 + (jnp.arange(L * F)[:, None] * 2
-                                             + jnp.arange(2))
-        rows_static = row_base + L * F * 4 + (jnp.arange(L)[:, None] * 2
-                                              + jnp.arange(2))
-        r_all = r_all.at[rows_mono].set(r_mono)
-        r_all = r_all.at[rows_cross].set(r_cross)
-        r_all = r_all.at[rows_static].set(r_static)
-
         if with_jac:
             J_mono = J_mono * w_mono[:, :, None]
             J_cross = J_cross * w_cross[:, :, None]
             J_static = J_static * w_static[:, :, None]
 
-            start_f = jnp.broadcast_to(start[:, None], (L, F)).reshape(-1)
-            j_f = jnp.tile(j_idx, (L,))
-            lane_f = jnp.repeat(jnp.arange(L), F)
-            a6 = jnp.arange(6)[None, :]
-            cols_pi = start_f[:, None] * 6 + a6
-            cols_pj = j_f[:, None] * 6 + a6
-            cols_exl = OFF_EX + ex_left * 6 + a6
-            cols_exr = OFF_EX + ex_right * 6 + a6
-            cols_lam = (DIM_ALL + lm_base + lane_f)[:, None]
-            cols_td = jnp.full((L * F, 1), OFF_TD)
+        start_f = jnp.broadcast_to(start[:, None], (L, F)).reshape(-1)
+        j_f = jnp.tile(j_idx, (L,))
+        lane_f = jnp.repeat(jnp.arange(L), F)
+        cols_pi = start_f[:, None] * 6 + a6
+        cols_pj = j_f[:, None] * 6 + a6
+        cols_exl = OFF_EX + ex_left * 6 + a6
+        cols_exr = OFF_EX + ex_right * 6 + a6
+        cols_lam = (DIM_ALL + lm_base + lane_f)[:, None]
+        cols_td = jnp.full((L * F, 1), OFF_TD)
 
-            # mono: [pose_i | pose_j | ex | λ | td]
-            J_all = _scatter_rows(J_all, rows_mono, cols_pi, J_mono[:, :, 0:6])
-            J_all = _scatter_rows(J_all, rows_mono, cols_pj, J_mono[:, :, 6:12])
-            J_all = _scatter_rows(J_all, rows_mono,
-                                  jnp.broadcast_to(cols_exl, (L * F, 6)),
-                                  J_mono[:, :, 12:18])
-            J_all = _scatter_rows(J_all, rows_mono, cols_lam, J_mono[:, :, 18:19])
-            J_all = _scatter_rows(J_all, rows_mono, cols_td, J_mono[:, :, 19:20])
-            # cross: [pose_i | pose_j | ex0 | ex1 | λ | td]
-            J_all = _scatter_rows(J_all, rows_cross, cols_pi, J_cross[:, :, 0:6])
-            J_all = _scatter_rows(J_all, rows_cross, cols_pj, J_cross[:, :, 6:12])
-            J_all = _scatter_rows(J_all, rows_cross,
-                                  jnp.broadcast_to(cols_exl, (L * F, 6)),
-                                  J_cross[:, :, 12:18])
-            J_all = _scatter_rows(J_all, rows_cross,
-                                  jnp.broadcast_to(cols_exr, (L * F, 6)),
-                                  J_cross[:, :, 18:24])
-            J_all = _scatter_rows(J_all, rows_cross, cols_lam, J_cross[:, :, 24:25])
-            J_all = _scatter_rows(J_all, rows_cross, cols_td, J_cross[:, :, 25:26])
-            # static: [ex0 | ex1 | λ | td]
-            lane_s = jnp.arange(L)
-            cols_lam_s = (DIM_ALL + lm_base + lane_s)[:, None]
-            cols_td_s = jnp.full((L, 1), OFF_TD)
-            J_all = _scatter_rows(J_all, rows_static,
-                                  jnp.broadcast_to(cols_exl, (L, 6)),
-                                  J_static[:, :, 0:6])
-            J_all = _scatter_rows(J_all, rows_static,
-                                  jnp.broadcast_to(cols_exr, (L, 6)),
-                                  J_static[:, :, 6:12])
-            J_all = _scatter_rows(J_all, rows_static, cols_lam_s,
-                                  J_static[:, :, 12:13])
-            J_all = _scatter_rows(J_all, rows_static, cols_td_s,
-                                  J_static[:, :, 13:14])
-        return r_all, J_all
+        # mono: [pose_i | pose_j | ex | λ | td]
+        cols_mono = jnp.concatenate([
+            cols_pi, cols_pj, jnp.broadcast_to(cols_exl, (L * F, 6)),
+            cols_lam, cols_td], axis=1)
+        # cross: [pose_i | pose_j | ex0 | ex1 | λ | td]
+        cols_cross = jnp.concatenate([
+            cols_pi, cols_pj, jnp.broadcast_to(cols_exl, (L * F, 6)),
+            jnp.broadcast_to(cols_exr, (L * F, 6)), cols_lam, cols_td], axis=1)
+        # static: [ex0 | ex1 | λ | td]
+        lane_s = jnp.arange(L)
+        cols_static = jnp.concatenate([
+            jnp.broadcast_to(cols_exl, (L, 6)),
+            jnp.broadcast_to(cols_exr, (L, 6)),
+            (DIM_ALL + lm_base + lane_s)[:, None],
+            jnp.full((L, 1), OFF_TD)], axis=1)
+        return [(r_mono, J_mono, cols_mono),
+                (r_cross, J_cross, cols_cross),
+                (r_static, J_static, cols_static)]
 
-    base_img = n_rows_imu
-    base_evt = base_img + n_rows_book(L_img)
-    r_all, J_all = add_book(r_all, J_all, book_img, 0, 2, base_img, 0)
-    r_all, J_all = add_book(r_all, J_all, book_evt, 1, 3, base_evt, L_img)
+    blocks += book_blocks(book_img, 0, 2, 0)
+    blocks += book_blocks(book_evt, 1, 3, L_img)
 
     # ---------------- marginalization prior --------------------------------
-    base_prior = base_evt + n_rows_book(L_evt)
     dx = state_minus(state, prior.lin)
     r_prior = (prior.r0 + prior.J0 @ dx) * prior.valid.astype(dtype)
-    rows_prior = base_prior + jnp.arange(DIM_ALL)
+    J_prior = (prior.J0 * prior.valid.astype(dtype)) if with_jac else None
+
+    return blocks, (r_prior, J_prior), L_img + L_evt
+
+
+def linearize(state: WindowState, book_img: FeatureBook, book_evt: FeatureBook,
+              preints: pre.Preintegrated, imu_valid, prior: Prior, g,
+              cauchy_c: float = 1.0, with_jac: bool = True):
+    """Build (J, r) of the whole problem.  Masked rows are exactly zero.
+
+    preints: stacked Preintegrated with leading axis 10 (interval k → k+1).
+    imu_valid: (10,) bool (sum_dt ≤ 10 s gate, estimator.cpp:1889).
+    Returns (J, r, n_landmark_cols). If with_jac=False, J is None (cost eval).
+    """
+    dtype = state.P.dtype
+    blocks, (r_prior, J_prior), L_tot = factor_blocks(
+        state, book_img, book_evt, preints, imu_valid, prior, g, cauchy_c,
+        with_jac)
+    R = sum(b[0].shape[0] * b[0].shape[1] for b in blocks) + DIM_ALL
+    C = DIM_ALL + L_tot
+
+    r_all = jnp.zeros((R,), dtype)
+    J_all = jnp.zeros((R, C), dtype) if with_jac else None
+    base = 0
+    for r, J, cols in blocks:
+        N, k = r.shape
+        rows = base + jnp.arange(N)[:, None] * k + jnp.arange(k)[None, :]
+        r_all = r_all.at[rows].set(r)
+        if with_jac:
+            J_all = _scatter_rows(J_all, rows, cols, J)
+        base += N * k
+
+    rows_prior = base + jnp.arange(DIM_ALL)
     r_all = r_all.at[rows_prior].set(r_prior)
     if with_jac:
-        Jp = prior.J0 * prior.valid.astype(dtype)
-        J_all = J_all.at[rows_prior[:, None], jnp.arange(DIM_ALL)[None, :]].add(Jp)
-
+        J_all = J_all.at[rows_prior[:, None],
+                         jnp.arange(DIM_ALL)[None, :]].add(J_prior)
     return J_all, r_all, L_tot
+
+
+def assemble_normal(state: WindowState, book_img: FeatureBook,
+                    book_evt: FeatureBook, preints: pre.Preintegrated,
+                    imu_valid, prior: Prior, g, cauchy_c: float = 1.0,
+                    via_dense_rows: bool = True):
+    """Normal equations (H, b, cost) assembled block-wise: H ← Σ JᵢᵀJᵢ.
+
+    Never materializes the (R, C) Jacobian.  via_dense_rows=True expands each
+    factor's rows to a per-block dense (N, a, C) slab with a disjoint-index
+    set-scatter and reduces with one MXU matmul per block — TPU scatters of
+    (N, k, k) outer products serialize badly, dense matmuls don't.  The
+    False path (pure scatter-add of outer products) is kept for CPU."""
+    dtype = state.P.dtype
+    blocks, (r_prior, J_prior), L_tot = factor_blocks(
+        state, book_img, book_evt, preints, imu_valid, prior, g, cauchy_c,
+        with_jac=True)
+    C = DIM_ALL + L_tot
+    H = jnp.zeros((C, C), dtype)
+    b = jnp.zeros((C,), dtype)
+    cost = jnp.zeros((), dtype)
+    for r, J, cols in blocks:
+        N, a, k = J.shape
+        if via_dense_rows:
+            Jd = jnp.zeros((N, a, C), dtype).at[
+                jnp.arange(N)[:, None, None],
+                jnp.arange(a)[None, :, None],
+                cols[:, None, :],
+            ].set(J)
+            Jr = Jd.reshape(N * a, C)
+            H = H + Jr.T @ Jr
+            b = b + Jr.T @ r.reshape(N * a)
+        else:
+            Hi = jnp.einsum("nak,nal->nkl", J, J)
+            bi = jnp.einsum("nak,na->nk", J, r)
+            H = H.at[cols[:, :, None], cols[:, None, :]].add(Hi)
+            b = b.at[cols].add(bi)
+        cost += jnp.sum(r * r)
+    H = H.at[:DIM_ALL, :DIM_ALL].add(J_prior.T @ J_prior)
+    b = b.at[:DIM_ALL].add(J_prior.T @ r_prior)
+    cost += jnp.sum(r_prior * r_prior)
+    return H, b, cost
+
+
+def problem_cost(state: WindowState, book_img: FeatureBook,
+                 book_evt: FeatureBook, preints: pre.Preintegrated,
+                 imu_valid, prior: Prior, g, cauchy_c: float = 1.0):
+    """0.5·Σ r² without building any Jacobian or scatter buffers."""
+    blocks, (r_prior, _), _ = factor_blocks(
+        state, book_img, book_evt, preints, imu_valid, prior, g, cauchy_c,
+        with_jac=False)
+    cost = jnp.sum(r_prior * r_prior)
+    for r, _, _ in blocks:
+        cost += jnp.sum(r * r)
+    return 0.5 * cost
 
 
 def _merge_books_depth(book_img, book_evt, d_lam, L_img):
@@ -319,24 +366,22 @@ def solve_window(state: WindowState, book_img: FeatureBook, book_evt: FeatureBoo
     L_img = book_img.un.shape[0]
 
     def cost_of(st, bi, be):
-        _, r, _ = linearize(st, bi, be, preints, imu_valid, prior, g,
-                            cauchy_c, with_jac=False)
-        return 0.5 * jnp.sum(r * r)
+        return problem_cost(st, bi, be, preints, imu_valid, prior, g, cauchy_c)
 
     def step(carry, _):
         st, bi, be, lam_damp = carry
-        J, r, L_tot = linearize(st, bi, be, preints, imu_valid, prior, g, cauchy_c)
+        H_raw, b_raw, cost2 = assemble_normal(
+            st, bi, be, preints, imu_valid, prior, g, cauchy_c,
+            via_dense_rows=True)
 
         # Jacobi column scaling (Ceres-style): the raw system mixes bias-walk
         # weights (~1e5) with vision (~3e2) — cond(H) up to 1e40.  Scaling
         # columns to unit norm makes the reduced system solvable even in f32.
-        col_norm = jnp.sqrt(jnp.sum(J * J, axis=0))
+        col_norm = jnp.sqrt(jnp.diagonal(H_raw))
         active_col = col_norm > 1e-10
         d_inv = jnp.where(active_col, 1.0 / jnp.where(active_col, col_norm, 1.0), 0.0)
-        Js = J * d_inv[None, :]
-
-        H = Js.T @ Js
-        b = Js.T @ r
+        H = H_raw * d_inv[None, :] * d_inv[:, None]
+        b = b_raw * d_inv
 
         Hpp = H[:DIM_ALL, :DIM_ALL]
         Hpl = H[:DIM_ALL, DIM_ALL:]
@@ -364,7 +409,7 @@ def solve_window(state: WindowState, book_img: FeatureBook, book_evt: FeatureBoo
         st_new = apply_delta(st, dxp)
         bi_new, be_new = _merge_books_depth(bi, be, dlam, L_img)
 
-        c_old = 0.5 * jnp.sum(r * r)
+        c_old = 0.5 * cost2
         c_new = cost_of(st_new, bi_new, be_new)
         accept = c_new < c_old
         st = jax.tree_util.tree_map(

@@ -148,9 +148,8 @@ def marginalize_old(state: WindowState, book_img: FeatureBook,
     bi = restrict(book_img)
     be = restrict(book_evt)
     iv = jnp.zeros((WINDOW,), bool).at[0].set(imu_valid[0])
-    J, r, L_tot = gn.linearize(state, bi, be, preints, iv, prior, g, cauchy_c)
-    H = J.T @ J
-    b = J.T @ r
+    H, b, _ = gn.assemble_normal(state, bi, be, preints, iv, prior, g,
+                                 cauchy_c)
 
     # eliminate landmarks (diagonal block)
     Hpp = H[:DIM_ALL, :DIM_ALL]

@@ -52,3 +52,40 @@ def test_mei_roundtrip(rng):
     uv = np.asarray(camera.space_to_plane(cam, jnp.asarray(xyz, jnp.float32)))
     ray = np.asarray(camera.lift_projective(cam, jnp.asarray(uv, jnp.float32)))
     np.testing.assert_allclose(ray[:, :2] / ray[:, 2:], pts, atol=1e-3)
+
+
+def test_scaramuzza_roundtrip():
+    """OCam model: project(lift(uv)) ≈ uv with an inverse polynomial fitted
+    the same way the reference does (ScaramuzzaCamera.cc:539-575)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from esvio_tpu.core import camera as cam_mod
+
+    W, H = 640, 480
+    poly = np.array([-216.9657476318, 0.0, 0.0017866911, -0.0000019866,
+                     0.0000000077])
+    # fit rho(theta); order 12 for sub-pixel accuracy (the reference's
+    # order-4 fit is an initialization; OCamCalib ships ~12).  NOTE the
+    # reference's own fit (ScaramuzzaCamera.cc:561) uses atan2(-z, rho),
+    # which is sign-inconsistent with its spaceToPlane (θ = atan2(-P_z, n)
+    # applied to the lifted ray P_z = -z); the self-consistent fit is
+    # θ = atan2(z, ρ) — real configs ship OCamCalib-produced inv_poly anyway.
+    rho = np.arange(0.0, (W + H) / 2, 0.1)
+    z = sum(poly[k] * rho ** k for k in range(5))
+    theta = np.arctan2(z, rho)
+    inv_poly = np.polynomial.polynomial.polyfit(theta, rho, 12)
+
+    cam = cam_mod.make_scaramuzza(poly, inv_poly, cx=W / 2, cy=H / 2,
+                                  width=W, height=H, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    uv = np.stack([rng.uniform(80, W - 80, 200),
+                   rng.uniform(60, H - 60, 200)], -1)
+    ray = cam_mod.lift_projective(cam, jnp.asarray(uv))
+    assert np.all(np.isfinite(np.asarray(ray)))
+    back = np.asarray(cam_mod.space_to_plane(cam, ray))
+    err = np.linalg.norm(back - uv, axis=-1)
+    assert err.max() < 0.5, err.max()   # bounded by the polynomial fit
+
+    # center pixel lifts to the optical axis
+    c = cam_mod.lift_projective(cam, jnp.asarray([W / 2, H / 2]))
+    assert np.allclose(np.asarray(c)[:2], 0.0, atol=1e-9)

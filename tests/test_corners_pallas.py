@@ -1,0 +1,48 @@
+"""Pallas corner-mask kernel vs the XLA rolled-plane formulation.
+
+Runs in interpreter mode on CPU (same kernel code path as the TPU lowering,
+minus Mosaic); exact equality is required on the interior (the border band is
+excluded by detect_corners' border gate in both implementations).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from esvio_tpu.events import corners, corners_pallas
+from esvio_tpu.events.sae import SAEState
+
+
+def _corner_rich_sae(rng, H, W):
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    t1 = 1.0 + 0.002 * xx + 0.001 * yy
+    t2 = 1.0 + 0.003 * (W - xx) + 0.0005 * yy
+    s0 = np.maximum(t1, t2) + rng.normal(0, 1e-4, (H, W)).astype(np.float32)
+    # sprinkle dead pixels and isolated hot pixels
+    s0[rng.random((H, W)) < 0.05] = 0.0
+    s0[rng.random((H, W)) < 0.01] = 2.0
+    return np.stack([s0, s0 * 0.7]).astype(np.float32)
+
+
+def test_pallas_mask_matches_xla(rng):
+    H, W = 64, 160
+    s = _corner_rich_sae(rng, H, W)
+    st = SAEState(sae=jnp.asarray(s), sae_latest=jnp.asarray(s))
+    ref = np.asarray(corners.corner_mask(st, impl="xla"))
+    pal = np.asarray(corners_pallas.corner_mask_pallas(
+        jnp.asarray(s), interpret=True))
+    B = corners_pallas.PAD + 1
+    inner = np.s_[:, B:H - B, B:W - B]
+    assert ref[inner].sum() > 100, "test surface has too few corners"
+    assert (ref[inner] == pal[inner]).all()
+
+
+def test_pallas_mask_non_multiple_shapes(rng):
+    # H, W not multiples of the tile sizes exercise the padding path
+    H, W = 50, 170
+    s = _corner_rich_sae(rng, H, W)
+    st = SAEState(sae=jnp.asarray(s), sae_latest=jnp.asarray(s))
+    ref = np.asarray(corners.corner_mask(st, impl="xla"))
+    pal = np.asarray(corners_pallas.corner_mask_pallas(
+        jnp.asarray(s), interpret=True))
+    B = corners_pallas.PAD + 1
+    inner = np.s_[:, B:H - B, B:W - B]
+    assert (ref[inner] == pal[inner]).all()

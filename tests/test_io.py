@@ -94,3 +94,28 @@ def test_iterate_chunks_and_imu_sync(rng):
     ts, accs, gyrs = ds_mod.imu_between(imu, 0.1, 0.2)
     assert (ts > 0.1).all() and (ts <= 0.2 + 1e-9).all()
     assert abs(ts[-1] - 0.2) < 1e-9  # boundary interpolation hits t1
+
+
+def test_metrics_and_stage_timer():
+    from esvio_tpu.utils.metrics import Metrics, StageTimer
+    import json as _json
+
+    tim = StageTimer()
+    with tim("stage_a"):
+        sum(range(1000))
+    with tim("stage_a"):
+        sum(range(1000))
+    rep = tim.report()
+    assert rep["stage_a"]["n"] == 2 and rep["stage_a"]["total_s"] >= 0
+
+    m = Metrics()
+    m.count("events", 100)
+    m.count("events", 28)
+    m.gauge("rate", 3.5)
+    for v in (1.0, 2.0, 10.0):
+        m.observe("lat_ms", v)
+    line = _json.loads(m.emit(extra_field=1))
+    assert line["c.events"] == 128 and line["g.rate"] == 3.5
+    s = m.summary()
+    assert s["events"] == 128 and abs(s["lat_ms.mean"] - 13 / 3) < 1e-9
+    assert s["lat_ms.max"] == 10.0
