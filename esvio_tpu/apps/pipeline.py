@@ -34,6 +34,10 @@ class PipelineResult:
     n_restarts: int = 0
     metrics: Optional[dict] = None
     stage_times: Optional[dict] = None
+    # loop-closure corrected trajectory (pose_graph updatePath analog)
+    P_loop: Optional[List[np.ndarray]] = None
+    Q_loop: Optional[List[np.ndarray]] = None
+    n_loops: int = 0
 
     def ate(self, gt_t, gt_P, alignment="yaw"):
         return traj_io.ate_rmse(np.asarray(self.stamps), np.asarray(self.P),
@@ -45,6 +49,9 @@ class PipelineResult:
                               self.stamps, self.P, self.Q, self.V)
         traj_io.write_tum(os.path.join(out_dir, "esvio_result_no_loop.tum"),
                           self.stamps, self.P, self.Q)
+        if self.P_loop:
+            traj_io.write_tum(os.path.join(out_dir, "esvio_result_loop.txt"),
+                              self.stamps, self.P_loop, self.Q_loop)
 
 
 class Pipeline:
@@ -69,13 +76,22 @@ class Pipeline:
         self.est_cfg = est_cfg or est_mod.EstimatorConfig(
             mode=mode, min_parallax=sys_cfg.keyframe_parallax / 460.0,
             g_norm=sys_cfg.g_norm,
-            solver_iters=sys_cfg.max_num_iterations)
+            solver_iters=sys_cfg.max_num_iterations,
+            estimate_extrinsic=sys_cfg.estimate_extrinsic,
+            estimate_td=sys_cfg.estimate_td)
         from esvio_tpu.imu.preintegration import make_imu_params
         imu_params = make_imu_params(
             sys_cfg.acc_n, sys_cfg.gyr_n, sys_cfg.acc_w, sys_cfg.gyr_w,
             sys_cfg.g_norm, dtype=self.est_cfg.dtype)
         self._ex = (ex_p, ex_q)
         self._imu_params = imu_params
+        self.loop_closer = None
+        if sys_cfg.loop_closure:
+            from esvio_tpu.loop.loop_closure import LoopCloser
+            loop_cam = cams.get("cam0") if sys_cfg.system_mode == 1 \
+                else cams.get("event0")
+            self.loop_closer = LoopCloser(cam=loop_cam)
+            self._loop_cam = loop_cam
         self._reset()
 
     def _reset(self):
@@ -169,6 +185,34 @@ class Pipeline:
 
             with tim("estimator"):
                 out = self.estimator.process_packets(t, pkt_evt, pkt_img)
+
+            # ---- loop closure (pose_graph node analog) ---------------------
+            if self.loop_closer is not None and out.keyframe is not None \
+                    and out.solver_flag == "NON_LINEAR":
+                kf = out.keyframe
+                # BRIEF source image: raw left frame in ESVIO; the left time
+                # surface in ESIO (pose_graph subscribes the left image topic)
+                if cfg.system_mode == 1 and imgs is not None:
+                    loop_img = np.asarray(imgs[1][img_idx], np.float32)
+                else:
+                    loop_img = np.asarray(self.tracker_state.prev_pyr[0][0])
+                from esvio_tpu.core.camera import space_to_plane
+                rays = np.concatenate(
+                    [kf["un"], np.ones((len(kf["un"]), 1))], axis=1)
+                uv = np.asarray(space_to_plane(self._loop_cam,
+                                               jnp.asarray(rays)))
+                with tim("loop_closure"):
+                    info = self.loop_closer.add_keyframe(
+                        kf["stamp"], kf["P"], kf["Q"], kf["pts_w"], uv,
+                        np.ones(len(uv), bool), loop_img, ids=kf["ids"])
+                if info is not None:
+                    met.count("loops")
+                    res.n_loops += 1
+                    if cfg.fast_relocalization:
+                        self.estimator.set_relo_frame(
+                            info["stamp_new"], info["match_ids"],
+                            info["match_un_old"], info["t_old"],
+                            info["q_old"])
             met.count("ticks")
             met.observe("tracked_features",
                         float(np.sum(np.asarray(pkt_evt.valid))))
@@ -181,6 +225,12 @@ class Pipeline:
                 res.P.append(out.P)
                 res.Q.append(out.Q)
                 res.V.append(out.V)
+                if self.loop_closer is not None:
+                    if res.P_loop is None:
+                        res.P_loop, res.Q_loop = [], []
+                    t_c, q_c = self.loop_closer.correct_odometry(out.P, out.Q)
+                    res.P_loop.append(t_c)
+                    res.Q_loop.append(q_c)
             n += 1
             if max_frames and n >= max_frames:
                 break

@@ -49,10 +49,11 @@ class LoopCloser:
         self.t_drift = np.zeros(3)
         self.key = jax.random.PRNGKey(7)
         self.first_loop_idx: Optional[int] = None
+        self.kf_ids = []          # per-KF feature ids of the window points
 
     # ------------------------------------------------------------------ add
     def add_keyframe(self, stamp, t_w, q_w, win_pts_w, win_uv, win_valid,
-                     image, sequence=0) -> Optional[dict]:
+                     image, sequence=0, ids=None) -> Optional[dict]:
         """Register a keyframe; returns loop info dict when a loop closes.
 
         win_pts_w: (P, 3) world landmarks of the sliding window seen by this
@@ -77,6 +78,9 @@ class LoopCloser:
                           np.asarray(win_pts_w), np.zeros((len(win_pts_w), 2)),
                           win_desc, np.asarray(win_valid),
                           ext_un, ext_desc, np.asarray(ok), sequence)
+        self.kf_ids.append(
+            np.asarray(ids, np.int32) if ids is not None
+            else np.full(len(win_pts_w), -1, np.int32))
 
         cand = self.db.query(idx)
         if cand is None:
@@ -130,8 +134,20 @@ class LoopCloser:
         if abs(rel_yaw) > MAX_YAW_DEG or np.linalg.norm(rel_t) > MAX_DIST_M:
             return None
 
+        # fast-relocalization payload (keyframe.cpp:531-557): matched window
+        # feature ids of the NEW keyframe + their normalized obs in the OLD
+        # keyframe + the old keyframe's VIO-world pose
+        inl_np = np.asarray(inl)
+        win_lanes = np.nonzero(ok & inl_np)[0]
+        match_ids = self.kf_ids[j_new][win_lanes] \
+            if j_new < len(self.kf_ids) else np.full(len(win_lanes), -1)
         return dict(i_old=i_old, j_new=j_new, rel_t=rel_t, rel_yaw=rel_yaw,
-                    n_inliers=n_inl)
+                    n_inliers=n_inl,
+                    stamp_new=float(dbw.stamp[j_new]),
+                    match_ids=match_ids,
+                    match_un_old=obs_old[win_lanes],
+                    t_old=dbw.t_vio[i_old].copy(),
+                    q_old=dbw.q_vio[i_old].copy())
 
     # ------------------------------------------------------------- 4-DoF opt
     def _optimize(self):

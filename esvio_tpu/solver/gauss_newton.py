@@ -360,8 +360,13 @@ def _merge_books_depth(book_img, book_evt, d_lam, L_img):
 @functools.partial(jax.jit, static_argnames=("iters", "cauchy_c"))
 def solve_window(state: WindowState, book_img: FeatureBook, book_evt: FeatureBook,
                  preints: pre.Preintegrated, imu_valid, prior: Prior, g,
-                 iters: int = 8, cauchy_c: float = 1.0):
-    """Run LM on the sliding window.  Returns (state', book_img', book_evt')."""
+                 iters: int = 8, cauchy_c: float = 1.0, frozen=None):
+    """Run LM on the sliding window.  Returns (state', book_img', book_evt').
+
+    frozen: optional (DIM_ALL,) bool — parameter rows held constant, the
+    analog of Ceres SetParameterBlockConstant (reference freezes extrinsics
+    when estimate_extrinsic == 0 / first 30 frames for the right camera,
+    estimator.cpp:1848-1884, and td when estimate_td == 0)."""
     dtype = state.P.dtype
     L_img = book_img.un.shape[0]
 
@@ -379,6 +384,11 @@ def solve_window(state: WindowState, book_img: FeatureBook, book_evt: FeatureBoo
         # columns to unit norm makes the reduced system solvable even in f32.
         col_norm = jnp.sqrt(jnp.diagonal(H_raw))
         active_col = col_norm > 1e-10
+        if frozen is not None:
+            # zeroing the scale of a frozen column removes it from the system
+            # (its delta comes out exactly 0) without changing any shapes
+            C = H_raw.shape[0]
+            active_col = active_col & ~jnp.pad(frozen, (0, C - DIM_ALL))
         d_inv = jnp.where(active_col, 1.0 / jnp.where(active_col, col_norm, 1.0), 0.0)
         H = H_raw * d_inv[None, :] * d_inv[:, None]
         b = b_raw * d_inv

@@ -54,6 +54,8 @@ class EstimatorConfig:
     solver_iters: int = 8
     cauchy_c: float = 1.0
     min_track_for_kf: int = 20     # last_track_num < 20 ⇒ keyframe (:416)
+    estimate_extrinsic: int = 0    # 0 fixed, 1 refine, 2 calibrate-from-scratch
+    estimate_td: int = 0           # 1 = solve camera-IMU time offset
     dtype: type = jnp.float64
 
 
@@ -65,6 +67,13 @@ class Output:
     V: np.ndarray
     solver_flag: str
     marg_flag: int
+    # fast-relocalization drift feedback (relo_relative_pose,
+    # stereo_double2vector3 :1652-1695): set on the step where a registered
+    # loop match was resolved against the window
+    relo: Optional[dict] = None
+    # keyframe snapshot for the pose graph (pubKeyframe: only MARGIN_OLD
+    # frames): dict(stamp, P, Q, ids, pts_w, un)
+    keyframe: Optional[dict] = None
 
 
 def _stack_preints(pres):
@@ -102,6 +111,8 @@ class Estimator:
         self.first_imu = False
         self.last_marg = MARGIN_OLD
         self.failures = 0
+        self.n_solves = 0
+        self._relo = None
 
         # stereo relative extrinsics per modality (cam-left → cam-right)
         self._rrl = {}
@@ -258,11 +269,15 @@ class Estimator:
         ref_p0, ref_q0 = self.ws.P[0], self.ws.Q[0]
         self.ws, self.book_img, self.book_evt, costs = gn.solve_window(
             self.ws, self.book_img, self.book_evt, preints, imu_valid,
-            self.prior, self.g, iters=cfg.solver_iters, cauchy_c=cfg.cauchy_c)
+            self.prior, self.g, iters=cfg.solver_iters, cauchy_c=cfg.cauchy_c,
+            frozen=self._frozen_mask())
         self.ws = win.gauge_fix(self.ws, ref_p0, ref_q0)
         self.book_img = fm.remove_failures(self.book_img)
         self.book_evt = fm.remove_failures(self.book_evt)
         self._failure_detection(n_tracked)
+
+        relo = self._process_relo()
+        keyframe = self._keyframe_snapshot() if marg_flag == MARGIN_OLD else None
 
         if marg_flag == MARGIN_OLD:
             self.prior = marg.marginalize_old(
@@ -272,7 +287,7 @@ class Estimator:
             if bool(self.prior.valid):
                 self.prior = marg.marginalize_second_new(self.prior)
         self._slide(marg_flag)
-        return self._output(t, marg_flag)
+        return self._output(t, marg_flag, relo=relo, keyframe=keyframe)
 
     # ------------------------------------------------------- initialization
     def _try_initialize(self) -> bool:
@@ -487,6 +502,21 @@ class Estimator:
             self.book_evt, self._rrl["evt"], self._trl["evt"])
         self.book_evt = fm.triangulate_multiview(self.book_evt, self.ws, 1)
 
+    def _frozen_mask(self):
+        """Ceres SetParameterBlockConstant analog (estimator.cpp:1848-1884):
+        extrinsics frozen unless estimate_extrinsic, right extrinsics frozen
+        for the first 30 solves either way, td frozen unless estimate_td."""
+        cfg = self.cfg
+        frozen = np.zeros(win.DIM_ALL, bool)
+        if not cfg.estimate_extrinsic:
+            frozen[win.OFF_EX:win.OFF_TD] = True
+        elif self.n_solves < 30:
+            frozen[win.OFF_EX + 12:win.OFF_TD] = True   # right cam/event
+        if not cfg.estimate_td:
+            frozen[win.OFF_TD] = True
+        self.n_solves += 1
+        return jnp.asarray(frozen)
+
     def _imu_valid(self):
         sums = np.array([self.imu_dt[k, :self.imu_n[k]].sum()
                          for k in range(1, win.N_STATES)])
@@ -542,9 +572,109 @@ class Estimator:
             self.book_evt = fm.slide_second_new(self.book_evt, win.N_STATES - 1)
         # frame_count stays at WINDOW once the window is full
 
-    def _output(self, t, marg_flag) -> Output:
+    def _output(self, t, marg_flag, relo=None, keyframe=None) -> Output:
         k = min(self.frame_count, WINDOW)
         return Output(
             t=t, P=np.asarray(self.ws.P[k]), Q=np.asarray(self.ws.Q[k]),
             V=np.asarray(self.ws.V[k]), solver_flag=self.solver_flag,
-            marg_flag=marg_flag)
+            marg_flag=marg_flag, relo=relo, keyframe=keyframe)
+
+    # ----------------------------------------------------- loop closure I/O
+    def _loop_book(self):
+        """Book used for loop-closure features (image in ESVIO, event in ESIO)."""
+        if self.cfg.mode == "esio" or not bool(jnp.any(self.book_img.active)):
+            return self.book_evt, 1
+        return self.book_img, 0
+
+    def _keyframe_snapshot(self) -> Optional[dict]:
+        """Keyframe packet for the pose graph (pubKeyframe semantics: the
+        2nd-newest frame, published only on MARGIN_OLD,
+        visualization.cpp:408-463): pose + world landmarks observed there."""
+        kf = WINDOW - 2
+        book, ex_idx = self._loop_book()
+        pts_w, valid = fm.world_points(book, self.ws, ex_idx)
+        seen = np.asarray(book.obs[:, kf]) & np.asarray(valid)
+        if seen.sum() == 0:
+            return None
+        lanes = np.nonzero(seen)[0]
+        return dict(
+            stamp=float(self.timestamps[kf]),
+            P=np.asarray(self.ws.P[kf]), Q=np.asarray(self.ws.Q[kf]),
+            ids=np.asarray(book.ids)[lanes],
+            pts_w=np.asarray(pts_w)[lanes],
+            un=np.asarray(book.un[:, kf])[lanes],
+        )
+
+    def set_relo_frame(self, stamp, match_ids, match_un, relo_P, relo_Q):
+        """Register a fast-relocalization match (setReloFrame,
+        estimator.cpp:2773-2792): an old keyframe at pose (relo_P, relo_Q)
+        observed features match_ids at normalized coords match_un."""
+        self._relo = dict(
+            stamp=float(stamp), ids=np.asarray(match_ids, np.int32),
+            un=np.asarray(match_un, float),
+            P=np.asarray(relo_P, float), Q=np.asarray(relo_Q, float))
+
+    def _process_relo(self) -> Optional[dict]:
+        """Resolve a pending relo match against the solved window: refine the
+        old keyframe's pose in the CURRENT world with PnP on the window's
+        landmarks, then report the drift (relative t / q / yaw) the pose
+        graph consumes.  The reference solves the relo pose as an extra Ceres
+        block inside the window problem (estimator.cpp:1988-2022); solving it
+        post-hoc against the fixed window gives the same drift feedback
+        without growing the (static-shape) parameter vector."""
+        relo = getattr(self, "_relo", None)
+        if relo is None or self.solver_flag != "NON_LINEAR":
+            return None
+        k = min(self.frame_count, WINDOW)
+        stamps = self.timestamps[: k + 1]
+        if relo["stamp"] < stamps[0] - 1e-6:      # slid out of the window
+            self._relo = None
+            return None
+        i = int(np.argmin(np.abs(stamps - relo["stamp"])))
+        if abs(stamps[i] - relo["stamp"]) > 1e-4:
+            return None                            # not arrived yet
+
+        book, ex_idx = self._loop_book()
+        pts_w, valid = fm.world_points(book, self.ws, ex_idx)
+        ids = np.asarray(book.ids)
+        valid = np.asarray(valid)
+        lane_of = {int(f): l for l, f in enumerate(ids) if valid[l]}
+        sel_p, sel_o = [], []
+        for m, fid in enumerate(relo["ids"]):
+            l = lane_of.get(int(fid))
+            if l is not None:
+                sel_p.append(np.asarray(pts_w)[l])
+                sel_o.append(relo["un"][m])
+        self._relo = None                          # single-shot like the ref
+        if len(sel_p) < 6:
+            return None
+        dt = self.cfg.dtype
+        Rex = np.asarray(lie.quat_to_rot(self.ws.ex_q[ex_idx]))
+        tex = np.asarray(self.ws.ex_p[ex_idx])
+        R_old_b = np.asarray(lie.quat_to_rot(jnp.asarray(relo["Q"])))
+        # seed: old KF camera pose in (drift-free assumed) current world
+        R_seed_wc = R_old_b @ Rex
+        c_seed = relo["P"] + R_old_b @ tex
+        key = jax.random.PRNGKey(int(relo["stamp"] * 1e3) & 0x7FFFFFFF)
+        R_cw, c, inl = pnp.pnp_ransac(
+            key, jnp.asarray(np.asarray(sel_p), dt),
+            jnp.asarray(np.asarray(sel_o), dt),
+            jnp.ones(len(sel_p), bool), jnp.asarray(R_seed_wc.T, dt),
+            jnp.asarray(c_seed, dt))
+        if int(jnp.sum(inl)) < 15:    # MIN_LOOP_NUM (keyframe.h:18)
+            return None
+        R_w_old = np.asarray(R_cw).T @ Rex.T       # body→world of old KF, now
+        P_w_old = np.asarray(c) - R_w_old @ tex
+        Q_i = np.asarray(self.ws.Q[i])
+        P_i = np.asarray(self.ws.P[i])
+        R_i = np.asarray(lie.quat_to_rot(jnp.asarray(Q_i)))
+        rel_t = R_w_old.T @ (P_i - P_w_old)
+        rel_R = R_w_old.T @ R_i
+        rel_q = np.asarray(lie.rot_to_quat(jnp.asarray(rel_R)))
+        yaw_i = float(np.asarray(lie.rot_to_ypr(jnp.asarray(R_i)))[0])
+        yaw_o = float(np.asarray(lie.rot_to_ypr(jnp.asarray(R_w_old)))[0])
+        return dict(stamp=relo["stamp"], frame_stamp=float(stamps[i]),
+                    relative_t=rel_t, relative_q=rel_q,
+                    relative_yaw=yaw_i - yaw_o,
+                    P_old=P_w_old, Q_old=np.asarray(
+                        lie.rot_to_quat(jnp.asarray(R_w_old))))

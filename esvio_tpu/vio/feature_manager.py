@@ -207,6 +207,31 @@ def triangulate_multiview(book: FeatureBook, state: WindowState, ex_idx: int):
         book, inv_depth=inv_depth, depth_valid=book.depth_valid | ok)
 
 
+@jax.jit
+def world_points(book: FeatureBook, state: WindowState, ex_idx: int):
+    """World positions of depth-valid landmarks (anchor-frame back-projection).
+
+    Returns (pts_w (L,3), valid (L,)): p_cam = [u, v, 1]ᵀ / λ at the anchor
+    frame, mapped through extrinsic + body pose (the pointcloud the reference
+    publishes with keyframes, visualization.cpp:408-463)."""
+    dtype = book.un.dtype
+    L = book.un.shape[0]
+    s = start_frame(book)
+    valid = book.active & book.depth_valid
+
+    Rws = lie.quat_to_rot(state.Q)
+    Rex = lie.quat_to_rot(state.ex_q[ex_idx])
+    tex = state.ex_p[ex_idx]
+
+    un_s = jnp.take_along_axis(
+        book.un, jnp.broadcast_to(s[:, None, None], (L, 1, 2)), 1)[:, 0]
+    depth = 1.0 / jnp.maximum(jnp.abs(book.inv_depth), 1e-6)
+    p_cam = jnp.concatenate([un_s, jnp.ones((L, 1), dtype)], 1) * depth[:, None]
+    p_body = jnp.einsum("ij,lj->li", Rex, p_cam) + tex
+    pts_w = jnp.einsum("lij,lj->li", Rws[s], p_body) + state.P[s]
+    return pts_w, valid
+
+
 # ---------------------------------------------------------------------------
 # window slide (removeBackShiftDepth :952-1018, removeFront)
 # ---------------------------------------------------------------------------

@@ -181,3 +181,67 @@ def test_mono_init_fallback():
     first_nl = flags.index("NON_LINEAR")
     err = np.linalg.norm(outs[-1].P - traj["P"][n_frames - 1])
     assert err < 0.4, (first_nl, err)
+
+
+@pytest.mark.slow
+def test_keyframe_snapshot_and_relocalization():
+    """MARGIN_OLD steps emit keyframe packets (pubKeyframe analog) and a
+    registered loop match resolves to a near-zero drift on a drift-free
+    simulation (setReloFrame → relo_relative_pose)."""
+    rng = np.random.default_rng(11)
+    n_frames = 26
+    traj = simulate_trajectory(rng, n_frames=n_frames, imu_per_frame=10,
+                               frame_dt=0.05)
+    lms = make_world(rng, traj)
+    ex_p = np.array([[0, 0, 0], [0, 0, 0],
+                     [BASELINE, 0, 0], [BASELINE, 0, 0]], float)
+    ex_q = np.tile(np.array([1.0, 0, 0, 0]), (4, 1))
+    cfg = est_mod.EstimatorConfig(mode="esio", evt_capacity=128,
+                                  img_capacity=8, min_track_for_kf=15)
+    est = est_mod.Estimator(cfg, ex_p, ex_q)
+    seen = set()
+    k_imu = traj["imu_per_frame"]
+    keyframes = []
+    relo_out = None
+    for f in range(n_frames):
+        if f > 0:
+            for s in range(k_imu):
+                i = (f - 1) * k_imu + s + 1
+                est.process_imu(traj["dt"], traj["imu_acc"][i], traj["imu_gyr"][i])
+        pkt, seen = packet_for_frame(traj, f, lms, seen, 0.3 / 460.0, rng)
+        if f == 20 and keyframes:
+            # fabricate a loop: an "old keyframe" at ground truth of frame 14
+            # re-observing currently tracked features
+            kf = keyframes[-1]
+            old_f = 14
+            Rb = np.asarray(lie.quat_to_rot(jnp.asarray(traj["Q"][old_f])))
+            pc = (lms[kf["ids"]] - traj["P"][old_f]) @ Rb
+            un_old = pc[:, :2] / pc[:, 2:3]
+            est.set_relo_frame(traj["t"][est.frame_count and 0] +
+                               est.timestamps[est.frame_count - 1] * 0 +
+                               est.timestamps[min(est.frame_count, 10) - 1],
+                               kf["ids"], un_old,
+                               traj["P"][old_f], traj["Q"][old_f])
+        out = est.process_packets(traj["t"][f], pkt)
+        if out.keyframe is not None:
+            keyframes.append(out.keyframe)
+            # snapshot sanity: world points near their true landmarks
+            err = np.linalg.norm(out.keyframe["pts_w"]
+                                 - lms[out.keyframe["ids"]], axis=-1)
+            assert np.median(err) < 0.2, np.median(err)
+        if out.relo is not None:
+            relo_out = out.relo
+    assert len(keyframes) >= 5
+    assert relo_out is not None, "relocalization never resolved"
+    # the resolved old-KF pose and the relative pose (old KF → matched window
+    # frame) must match ground truth on this drift-free sim
+    i_frame = int(np.argmin(np.abs(traj["t"] - relo_out["frame_stamp"])))
+    R_old = np.asarray(lie.quat_to_rot(jnp.asarray(traj["Q"][14])))
+    R_i = np.asarray(lie.quat_to_rot(jnp.asarray(traj["Q"][i_frame])))
+    yaw_gt = float(np.asarray(lie.rot_to_ypr(jnp.asarray(R_i)))[0]
+                   - np.asarray(lie.rot_to_ypr(jnp.asarray(R_old)))[0])
+    t_gt = R_old.T @ (traj["P"][i_frame] - traj["P"][14])
+    assert abs(relo_out["relative_yaw"] - yaw_gt) < 2.0, \
+        (relo_out["relative_yaw"], yaw_gt)
+    assert np.linalg.norm(relo_out["relative_t"] - t_gt) < 0.15
+    assert np.linalg.norm(relo_out["P_old"] - traj["P"][14]) < 0.15

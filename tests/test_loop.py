@@ -134,3 +134,44 @@ def test_loop_closer_end_to_end(rng):
     # drift correction maps VIO into the corrected frame
     t_c, q_c = closer.correct_odometry(vio_pos[n_kf - 1], q_id)
     assert np.linalg.norm(t_c - gt_pos[n_kf - 1]) < err_vio * 0.5
+
+
+def test_loop_info_fast_reloc_payload(rng):
+    """Loop info carries the fast-relocalization payload (keyframe.cpp:531-557):
+    matched new-KF feature ids + their old-KF normalized obs + old pose."""
+    tex, margin = blob_texture(rng, H * 3, W * 3, n_blobs=1500)
+    from synth import sample_texture
+    cam = camera.make_pinhole(fx=FOCAL, fy=FOCAL, cx=W / 2, cy=H / 2,
+                              width=W, height=H)
+
+    def render(pos):
+        return sample_texture(tex, margin, H, W,
+                              pos[0] * FOCAL / PLANE_Z + W,
+                              pos[1] * FOCAL / PLANE_Z + H)
+
+    n_kf = 30
+    xs = np.concatenate([np.linspace(0, 1.6, n_kf // 2),
+                         np.linspace(1.6, 0.02, n_kf - n_kf // 2)])
+    pos = np.stack([xs, np.zeros(n_kf), np.zeros(n_kf)], 1)
+    closer = loop_closure.LoopCloser(
+        loop_closure.LoopConfig(fast_threshold=15, max_extra_corners=256,
+                                skip_recent=10), cam=cam)
+    q_id = np.array([1.0, 0, 0, 0])
+    info = None
+    for k in range(n_kf):
+        img = render(pos[k])
+        xy, score, ok = fast.detect_fast(jnp.asarray(img), 15, 128)
+        xy_n, okn = np.asarray(xy), np.asarray(ok)
+        rays = np.asarray(camera.lift_projective(cam, jnp.asarray(xy_n)))
+        pts_w = pos[k] + rays * PLANE_Z
+        ids = np.arange(k * 1000, k * 1000 + len(pts_w), dtype=np.int32)
+        got = closer.add_keyframe(float(k), pos[k], q_id, pts_w, xy_n, okn,
+                                  img, ids=ids)
+        if got:
+            info = got
+    assert info is not None
+    assert len(info["match_ids"]) >= 15
+    # ids belong to the NEW keyframe's id range
+    assert np.all(info["match_ids"] // 1000 == info["j_new"])
+    assert info["match_un_old"].shape == (len(info["match_ids"]), 2)
+    assert np.allclose(info["t_old"], pos[info["i_old"]])

@@ -61,3 +61,41 @@ def test_esio_pipeline_events_to_trajectory(rng):
     ate = res.ate(gt_t, gt_P, alignment="yaw")
     assert np.isfinite(ate)
     assert ate < 0.3, f"ATE {ate:.3f} m"
+
+
+@pytest.mark.slow
+def test_pipeline_with_loop_closure_wiring(rng):
+    """ESIO pipeline with loop_closure + fast_relocalization enabled: the
+    keyframe → LoopCloser → (optional) set_relo_frame path runs end-to-end
+    (time surfaces as the BRIEF source; no loop expected on this short
+    non-revisiting path — the wiring itself must not disturb the estimate)."""
+    seq, gt_t, gt_P = planar_vio_sequence_rot(
+        rng, H=H, W=W, focal=FOCAL, plane_z=PLANE_Z, baseline=BASELINE,
+        duration=1.2)
+    cam = camera.make_pinhole(fx=FOCAL, fy=FOCAL, cx=W / 2, cy=H / 2,
+                              width=W, height=H)
+    R_ident = np.eye(3)
+    sys_cfg = SystemConfig(
+        system_mode=0, event_width=W, event_height=H,
+        R_body_cam0=R_ident, t_body_cam0=np.zeros(3),
+        R_body_cam1=R_ident, t_body_cam1=np.array([BASELINE, 0, 0]),
+        R_body_event0=R_ident, t_body_event0=np.zeros(3),
+        R_body_event1=R_ident, t_body_event1=np.array([BASELINE, 0, 0]),
+        freq=15, max_cnt=60, min_dist=10,
+        loop_closure=1, fast_relocalization=1,
+    )
+    tracker_cfg = trk.TrackerConfig(
+        width=W, height=H, capacity=128, cand_capacity=512, max_cnt=60,
+        min_dist=10, lk_iters=15)
+    est_cfg = est_mod.EstimatorConfig(mode="esio", evt_capacity=256,
+                                      img_capacity=8, min_track_for_kf=15)
+    pipe = Pipeline(sys_cfg, cams={"event0": cam, "event1": cam},
+                    tracker_cfg=tracker_cfg, est_cfg=est_cfg,
+                    event_capacity=1 << 15)
+    res = pipe.run(seq)
+    assert len(res.stamps) >= 5
+    assert pipe.loop_closer is not None
+    assert pipe.loop_closer.db.count >= 3, "no keyframes reached loop closer"
+    assert res.P_loop is not None and len(res.P_loop) == len(res.stamps)
+    # no loop on this path ⇒ corrected == raw
+    assert np.allclose(np.asarray(res.P_loop), np.asarray(res.P))
