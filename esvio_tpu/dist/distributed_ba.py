@@ -46,7 +46,8 @@ def _rep(tree):
         else jax.tree_util.tree_map(lambda _: P(None), tree)
 
 
-def make_sharded_solver(mesh, iters: int = 8, cauchy_c: float = 1.0):
+def make_sharded_solver(mesh, iters: int = 8, cauchy_c: float = 1.0,
+                        method: str = "chol"):
     """Build a jitted distributed solver over `mesh` (axes "dp", "lm").
 
     Returned fn signature (all leading-batch over dp):
@@ -89,12 +90,8 @@ def make_sharded_solver(mesh, iters: int = 8, cauchy_c: float = 1.0):
         Hr = jax.lax.psum(Hr_local, "lm")
         br = jax.lax.psum(br_local, "lm")
 
-        w, V = jnp.linalg.eigh(Hr)
-        w_max = jnp.maximum(w[-1], 1e-12)
-        keep = w > w_max * 1e-10
-        w_inv = jnp.where(keep, 1.0 / (jnp.where(keep, w, 1.0) + lam_damp), 0.0)
-        dxp_s = -(V * w_inv[None, :]) @ (V.T @ br)
-        dlam_s = -(b[DIM_ALL:] + Hpl.T @ dxp_s) * inv_hll
+        dxp_s, finite = gn.reduced_solve(Hr, br, lam_damp, method)
+        dlam_s = -(b[DIM_ALL:] + Hpl.T @ dxp_s) * inv_hll * finite.astype(dtype)
         dxp = dxp_s * d_inv[:DIM_ALL]
         dlam = dlam_s * d_inv[DIM_ALL:]
 
@@ -112,7 +109,8 @@ def make_sharded_solver(mesh, iters: int = 8, cauchy_c: float = 1.0):
         state = jax.tree_util.tree_map(sel, state, st_new)
         bi = jax.tree_util.tree_map(sel, bi, bi_new)
         be = jax.tree_util.tree_map(sel, be, be_new)
-        lam_damp = jnp.where(accept, jnp.maximum(lam_damp / 10.0, 1e-12),
+        _, lam_floor = gn.damping_schedule(dtype)
+        lam_damp = jnp.where(accept, jnp.maximum(lam_damp / 10.0, lam_floor),
                              jnp.minimum(lam_damp * 100.0, 1e4))
         return state, bi, be, lam_damp, c_new
 
@@ -130,10 +128,11 @@ def make_sharded_solver(mesh, iters: int = 8, cauchy_c: float = 1.0):
         def vary_all(x):
             have = getattr(jax.typeof(x), "vma", frozenset())
             need = tuple(a for a in ("dp", "lm") if a not in have)
-            return jax.lax.pvary(x, need) if need else x
+            return jax.lax.pcast(x, need, to="varying") if need else x
 
+        lam0, _ = gn.damping_schedule(dtype)
         init = jax.tree_util.tree_map(
-            vary_all, (state, bi, be, jnp.asarray(1e-10, dtype)))
+            vary_all, (state, bi, be, jnp.asarray(lam0, dtype)))
         (state, bi, be, _), costs = jax.lax.scan(body, init, None, length=iters)
         return state, bi, be, costs
 

