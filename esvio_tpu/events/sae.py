@@ -200,13 +200,36 @@ def harvest_filter(state: SAEState, chunk: EventChunk) -> jnp.ndarray:
     return ok & chunk.valid
 
 
+def median_blur(img: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """(2k+1)×(2k+1) median filter — cv::medianBlur analog for time surfaces
+    (event_detector.cc:263-265, kernel = 2*median_blur_kernel_size+1).
+
+    Gathers the full neighborhood into a leading window axis and sorts once:
+    at k ≤ 2 that is ≤ 25·H·W values, which XLA fuses into one vectorized
+    sort — no per-pixel loop.  Borders replicate (OpenCV BORDER_REPLICATE).
+    """
+    if ksize <= 0:
+        return img
+    k = ksize
+    pad = jnp.pad(img, ((k, k), (k, k)), mode="edge")
+    H, W = img.shape
+    win = jnp.stack([
+        jax.lax.dynamic_slice(pad, (dy, dx), (H, W))
+        for dy in range(2 * k + 1) for dx in range(2 * k + 1)
+    ])
+    return jnp.sort(win, axis=0)[win.shape[0] // 2]
+
+
 def time_surface(state: SAEState, t_now, decay_ms: float,
                  ignore_polarity: bool = False,
-                 quantize: bool = True) -> jnp.ndarray:
+                 quantize: bool = True,
+                 median_blur_ksize: int = 0) -> jnp.ndarray:
     """Render the exponential-decay time surface (event_detector.cc:230-267).
 
     Returns (H, W) float32 in [0, 255] (rounded to integers when `quantize`,
     matching the reference's CV_8U conversion that feeds LK tracking).
+    `median_blur_ksize` is the reference's `median_blur_kernel_size` (the
+    filter window is 2k+1, applied after CV_8U quantization).
     """
     decay = decay_ms / 1000.0
     newest = jnp.maximum(state.sae[0], state.sae[1])
@@ -220,6 +243,8 @@ def time_surface(state: SAEState, t_now, decay_ms: float,
     out = jnp.clip(out, 0.0, 255.0)
     if quantize:
         out = jnp.round(out)
+    if median_blur_ksize > 0:
+        out = median_blur(out, median_blur_ksize)
     return out
 
 

@@ -64,3 +64,99 @@ def greedy_spacing(priority, xs, ys, valid, height: int, width: int,
         0, N, body, (grid, jnp.zeros(N, bool), jnp.asarray(0, jnp.int32))
     )
     return keep, grid[r:r + height, r:r + width]
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "min_dist",
+                                             "max_keep", "suppress_iters"))
+def grid_spacing(priority, xs, ys, valid, height: int, width: int,
+                 min_dist: int, max_keep: int, occupied=None,
+                 suppress_iters: int = 16):
+    """Parallel (TPU-native) min-dist selection — same contract as
+    `greedy_spacing` without its O(N) sequential read-modify-write chain.
+
+    Bucket the frame into min_dist-sized cells; one winner per cell (highest
+    priority), then iterated winner-take-all suppression among the 8-cell
+    neighborhood (points ≥ 2 cells apart are ≥ min_dist apart by
+    construction, so only neighbors can conflict), iterated to a fixed
+    point (≤ suppress_iters Jacobi rounds) so A-kills-B-revives-C chains
+    resolve exactly like the sequential greedy does among cell winners.
+    Everything is scatters/gathers over the candidate axis — no serial
+    dependency.
+
+    Guarantees: keep ⊆ valid, |keep| ≤ max_keep, pairwise distance ≥
+    min_dist.  `occupied` pixels (if given) block selection within min_dist
+    via a virtual +∞-priority competitor per occupied cell.
+    """
+    N = priority.shape[0]
+    r = max(min_dist, 1)
+    dtype = priority.dtype
+    ncx = -(-width // r)
+    ncy = -(-height // r)
+    ncell = ncx * ncy
+
+    xi = jnp.clip(xs, 0.0, width - 1.0)
+    yi = jnp.clip(ys, 0.0, height - 1.0)
+    cx = jnp.clip((xi // r).astype(jnp.int32), 0, ncx - 1)
+    cy = jnp.clip((yi // r).astype(jnp.int32), 0, ncy - 1)
+    cell = cy * ncx + cx
+
+    # rank = global priority order (stable); lower rank = stronger
+    order = jnp.argsort(jnp.where(valid, -priority, jnp.inf), stable=True)
+    rank = jnp.zeros((N,), jnp.int32).at[order].set(
+        jnp.arange(N, dtype=jnp.int32))
+    rank = jnp.where(valid, rank, N)
+
+    # per-cell winner by min rank
+    cell_best = jnp.full((ncell,), N, jnp.int32).at[cell].min(rank)
+    is_winner = valid & (rank == cell_best[cell])
+    win_of_cell = jnp.full((ncell,), -1, jnp.int32).at[cell].max(
+        jnp.where(is_winner, jnp.arange(N, dtype=jnp.int32), -1))
+
+    if occupied is not None:
+        raise NotImplementedError(
+            "grid_spacing takes no occupancy prior; use greedy_spacing")
+
+    r2 = float(r * r)
+
+    def sweep(live):
+        kill = jnp.zeros((N,), bool)
+        idx = jnp.arange(N, dtype=jnp.int32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                nx = cx + dx
+                ny = cy + dy
+                inb = (nx >= 0) & (nx < ncx) & (ny >= 0) & (ny < ncy)
+                ncell_i = jnp.clip(ny, 0, ncy - 1) * ncx \
+                    + jnp.clip(nx, 0, ncx - 1)
+                j = win_of_cell[ncell_i]
+                jc = jnp.clip(j, 0, N - 1)
+                ok = inb & (j >= 0) & live[jc] & (j != idx)
+                d2 = (xi - xi[jc]) ** 2 + (yi - yi[jc]) ** 2
+                kill = kill | (ok & (d2 < r2) & (rank[jc] < rank))
+        return is_winner & ~kill
+
+    # Jacobi iteration of priority-ordered suppression to a fixed point
+    # (parallel maximal-independent-set by priority); at convergence no kept
+    # point has a live higher-priority neighbor within r, which IS the
+    # pairwise guarantee.  Chains longer than the cap are pathological.
+    def cond(carry):
+        live, prev, it = carry
+        return (it < suppress_iters) & jnp.any(live != prev)
+
+    def body(carry):
+        live, _, it = carry
+        return sweep(live), live, it + 1
+
+    live, _, _ = jax.lax.while_loop(
+        cond, body,
+        (sweep(is_winner), is_winner, jnp.asarray(1, jnp.int32)))
+
+    # cap at max_keep by priority
+    live_rank = jnp.cumsum(live[order].astype(jnp.int32)) - 1
+    keep_sorted = live[order] & (live_rank < max_keep)
+    keep = jnp.zeros((N,), bool).at[order].set(keep_sorted)
+
+    occ = jnp.zeros((height, width), bool).at[
+        jnp.round(yi).astype(jnp.int32), jnp.round(xi).astype(jnp.int32)
+    ].max(keep)
+    return keep, occ

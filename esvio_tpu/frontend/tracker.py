@@ -53,6 +53,8 @@ class TrackerConfig:
     ransac_hypotheses: int = 128
     use_time_surface_gate: bool = True
     equalize: bool = False         # CLAHE on time surfaces / frames (EQUALIZE)
+    median_blur_ksize: int = 0     # median_blur_kernel_size (event_detector.cc:263)
+    spacing: str = "grid"          # "grid" (parallel WTA) | "greedy" (serial scan)
 
 
 @jax.tree_util.register_dataclass
@@ -149,8 +151,10 @@ def track_event_stereo(cfg: TrackerConfig, cam_left: CameraModel,
     # ---- 1. SAE + time surfaces -------------------------------------------
     sae_l, _ = sae_mod.update_sae(state.sae_left, chunk_left, cfg.filter_threshold)
     sae_r, _ = sae_mod.update_sae(state.sae_right, chunk_right, cfg.filter_threshold)
-    ts_l = sae_mod.time_surface(sae_l, t_now, cfg.decay_ms, cfg.ignore_polarity)
-    ts_r = sae_mod.time_surface(sae_r, t_now, cfg.decay_ms, cfg.ignore_polarity)
+    ts_l = sae_mod.time_surface(sae_l, t_now, cfg.decay_ms, cfg.ignore_polarity,
+                                median_blur_ksize=cfg.median_blur_ksize)
+    ts_r = sae_mod.time_surface(sae_r, t_now, cfg.decay_ms, cfg.ignore_polarity,
+                                median_blur_ksize=cfg.median_blur_ksize)
     if cfg.equalize:  # CLAHE (feature_tracker.cpp:375-387)
         from esvio_tpu.frontend.clahe import clahe as _clahe
         ts_l = _clahe(ts_l)
@@ -198,7 +202,9 @@ def track_event_stereo(cfg: TrackerConfig, cam_left: CameraModel,
     all_x = jnp.concatenate([cur[:, 0], cand_x])
     all_y = jnp.concatenate([cur[:, 1], cand_y])
     all_valid = jnp.concatenate([tracked, cand_valid])
-    keep, _ = mask_mod.greedy_spacing(
+    spacing_fn = mask_mod.grid_spacing if cfg.spacing == "grid" \
+        else mask_mod.greedy_spacing
+    keep, _ = spacing_fn(
         pri, all_x, all_y, all_valid, cfg.height, cfg.width,
         cfg.min_dist, cfg.max_cnt,
     )
@@ -358,7 +364,9 @@ def track_image_stereo(cfg: TrackerConfig, cam_left: CameraModel,
     all_x = jnp.concatenate([cur[:, 0], cand_xy[:, 0]])
     all_y = jnp.concatenate([cur[:, 1], cand_xy[:, 1]])
     all_valid = jnp.concatenate([tracked, cand_ok])
-    keep, _ = mask_mod.greedy_spacing(
+    spacing_fn = mask_mod.grid_spacing if cfg.spacing == "grid" \
+        else mask_mod.greedy_spacing
+    keep, _ = spacing_fn(
         pri, all_x, all_y, all_valid, cfg.height, cfg.width,
         cfg.min_dist, cfg.max_cnt)
     keep_new = keep[F:]

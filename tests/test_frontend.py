@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -154,3 +155,98 @@ def test_greedy_spacing_properties(rng):
         jnp.ones(2, bool), H, W, min_dist=10, max_keep=10,
     )
     np.testing.assert_array_equal(np.asarray(keep2), [False, True])
+
+
+def test_grid_spacing_properties(rng):
+    """grid_spacing (parallel WTA): keep ⊆ valid, ≤ max_keep, pairwise
+    ≥ min_dist, strongest candidates preferred."""
+    from esvio_tpu.frontend import mask as mask_mod
+
+    N, H, W, r = 400, 120, 160, 10
+    xs = rng.uniform(0, W - 1, N)
+    ys = rng.uniform(0, H - 1, N)
+    pri = rng.uniform(0, 100, N)
+    valid = rng.uniform(size=N) > 0.2
+    keep, occ = mask_mod.grid_spacing(
+        jnp.asarray(pri), jnp.asarray(xs), jnp.asarray(ys),
+        jnp.asarray(valid), H, W, r, 60)
+    keep = np.asarray(keep)
+    assert not np.any(keep & ~valid)
+    assert keep.sum() <= 60
+    kx, ky = xs[keep], ys[keep]
+    d2 = (kx[:, None] - kx[None, :]) ** 2 + (ky[:, None] - ky[None, :]) ** 2
+    np.fill_diagonal(d2, 1e9)
+    assert d2.min() >= r * r, np.sqrt(d2.min())
+    # the globally strongest valid candidate always survives
+    best = np.argmax(np.where(valid, pri, -np.inf))
+    assert keep[best]
+
+
+def test_grid_spacing_matches_greedy_density(rng):
+    """grid and greedy select similar feature counts and both respect the
+    same spacing — grid is the TPU-native default, greedy the oracle."""
+    from esvio_tpu.frontend import mask as mask_mod
+
+    N, H, W, r = 600, 120, 160, 10
+    xs = rng.uniform(0, W - 1, N)
+    ys = rng.uniform(0, H - 1, N)
+    pri = rng.uniform(0, 100, N)
+    valid = np.ones(N, bool)
+    kg, _ = mask_mod.greedy_spacing(
+        jnp.asarray(pri), jnp.asarray(xs), jnp.asarray(ys),
+        jnp.asarray(valid), H, W, r, 150)
+    kb, _ = mask_mod.grid_spacing(
+        jnp.asarray(pri), jnp.asarray(xs), jnp.asarray(ys),
+        jnp.asarray(valid), H, W, r, 150)
+    n_greedy = int(np.asarray(kg).sum())
+    n_grid = int(np.asarray(kb).sum())
+    # cell-quantized WTA selects a somewhat sparser set; must stay within 2×
+    assert n_grid >= n_greedy * 0.5, (n_grid, n_greedy)
+    assert n_grid <= n_greedy * 1.2, (n_grid, n_greedy)
+
+
+def test_lk_parity_with_opencv(rng):
+    """LK quality parity vs cv2.calcOpticalFlowPyrLK on textured imagery
+    (VERDICT r1 weak #7 / SURVEY hard-risk): same 21×21 window, 4 levels,
+    known sub-pixel ground-truth shift — our tracker's endpoint error must
+    match OpenCV's to a fraction of a pixel."""
+    cv2 = pytest.importorskip("cv2")
+    from synth import blob_texture, sample_texture
+    from esvio_tpu.frontend import lk, pyramid
+
+    H, W = 180, 240
+    tex, margin = blob_texture(rng, H, W, n_blobs=500)
+    shift = np.array([3.4, -2.6])
+    img0 = sample_texture(tex, margin, H, W, 0.0, 0.0).astype(np.float32)
+    img1 = sample_texture(tex, margin, H, W, shift[0], shift[1]) \
+        .astype(np.float32)
+
+    # seed at OpenCV's own corners (both trackers get identical seeds)
+    pts0 = cv2.goodFeaturesToTrack(img0.astype(np.uint8), 80, 0.05, 12)
+    pts0 = pts0.reshape(-1, 2)
+    inb = ((pts0[:, 0] > 15) & (pts0[:, 0] < W - 16 - abs(shift[0]))
+           & (pts0[:, 1] > 15 + abs(shift[1])) & (pts0[:, 1] < H - 16))
+    pts0 = pts0[inb]
+    assert len(pts0) >= 30
+    gt1 = pts0 - shift  # content moved by +shift ⇒ features move by −shift
+
+    cv_pts, cv_st, _ = cv2.calcOpticalFlowPyrLK(
+        img0.astype(np.uint8), img1.astype(np.uint8),
+        pts0.astype(np.float32).reshape(-1, 1, 2), None,
+        winSize=(21, 21), maxLevel=3)
+    cv_pts = cv_pts.reshape(-1, 2)
+    cv_ok = cv_st.ravel() > 0
+
+    pyr0 = pyramid.build_lk_pyramid(jnp.asarray(img0), 4)
+    pyr1 = pyramid.build_lk_pyramid(jnp.asarray(img1), 4)
+    ours, st = lk.lk_track(pyr0, pyr1, jnp.asarray(pts0, jnp.float32),
+                           jnp.ones(len(pts0), bool), iters=30)
+    ours = np.asarray(ours)
+    ok = np.asarray(st)
+
+    err_cv = np.linalg.norm(cv_pts[cv_ok] - gt1[cv_ok], axis=1)
+    err_us = np.linalg.norm(ours[ok] - gt1[ok], axis=1)
+    assert ok.sum() >= 0.8 * cv_ok.sum(), (ok.sum(), cv_ok.sum())
+    assert np.median(err_us) < 0.5, np.median(err_us)
+    assert np.median(err_us) <= np.median(err_cv) + 0.2, \
+        (np.median(err_us), np.median(err_cv))

@@ -190,3 +190,36 @@ def test_corners_match_oracle(rng):
     ] + [False] * (4096 - len(t)))
     assert expect.sum() > 0, "test should exercise some corners"
     np.testing.assert_array_equal(got, expect)
+
+
+def test_median_blur_matches_oracle(rng):
+    """median_blur == brute-force neighborhood median with replicated borders
+    (cv::medianBlur semantics, event_detector.cc:263-265)."""
+    import jax.numpy as jnp
+    from esvio_tpu.events.sae import median_blur
+
+    img = rng.integers(0, 256, (17, 23)).astype(np.float32)
+    for k in (1, 2):
+        out = np.asarray(median_blur(jnp.asarray(img), k))
+        pad = np.pad(img, k, mode="edge")
+        want = np.zeros_like(img)
+        for y in range(img.shape[0]):
+            for x in range(img.shape[1]):
+                want[y, x] = np.median(pad[y:y + 2 * k + 1, x:x + 2 * k + 1])
+        np.testing.assert_allclose(out, want)
+
+
+def test_time_surface_median_blur_wired():
+    """time_surface(median_blur_ksize=k) applies the filter after quantize."""
+    import jax.numpy as jnp
+    from esvio_tpu.events import sae as sae_mod
+
+    st = sae_mod.init_sae(12, 16)
+    st = sae_mod.SAEState(
+        sae=st.sae.at[1, 6, 8].set(1.0), sae_latest=st.sae_latest)
+    plain = np.asarray(sae_mod.time_surface(st, 1.001, 20.0, False))
+    blur = np.asarray(sae_mod.time_surface(st, 1.001, 20.0, False,
+                                           median_blur_ksize=1))
+    # lone hot pixel is erased by the median; background preserved
+    assert plain[6, 8] > 200
+    assert blur[6, 8] == np.median(plain[5:8, 7:10])
