@@ -52,6 +52,15 @@ def calibrate_ex_rotation(q_cam, q_imu, ric0, valid=None):
     q = Vt[-1]
     q = q * jnp.where(q[0] < 0, -1.0, 1.0)
     q = lie.quat_inv(q / jnp.linalg.norm(q))
-    # reference gate: ric_cov(1) > 0.25 with ≥ WINDOW_SIZE pairs (:74-80)
-    ok = (S[2] > 0.25) & (jnp.sum(valid) >= 10)
+    # convergence gate.  The reference uses the absolute threshold
+    # ric_cov(1) > 0.25 with ≥ WINDOW_SIZE pairs (:74-80); the matrix entries
+    # scale ~sin(θ/2) with the per-interval rotation θ, so that constant
+    # implicitly assumes the reference's inter-frame rotation scale.  We add
+    # the scale-invariant form: the observable directions (S[2]) must be
+    # separated from the null space (S[3], the solution) by a wide margin —
+    # single-axis (degenerate) excitation keeps S[2] ≈ S[3] and is rejected
+    # by both forms.
+    n = jnp.sum(valid)
+    ok = ((S[2] > 0.25) | ((S[2] > 10.0 * S[3]) & (S[2] > 0.05) & (n >= 15))) \
+        & (n >= 10)
     return q, ok, S

@@ -160,6 +160,23 @@ def solve_relative_rt(key, p1, p2, valid, min_inliers: int = 12):
     return ok, R.T, -(R.T @ t), n_good
 
 
+def solve_relative_rotation(key, p1, p2, valid, min_inliers: int = 9):
+    """Rotation-only relative pose for hand-eye calibration
+    (InitialEXRotation::solveRelativeR, initial_ex_rotation.cpp:82-114).
+
+    Between consecutive frames (1/FREQ s apart) the translation is near zero,
+    so the cheirality vote recover_pose uses is pure noise; instead pick the
+    E-decomposition twin with the SMALLER rotation angle — the other twin
+    differs by ~180° about t, impossible at frame rate.  Returns (ok, R12)
+    with R12 mapping frame-2 points into frame 1 (same convention as
+    solve_relative_rt)."""
+    E, inl = essential_ransac(key, p1, p2, valid)
+    R1, R2, _ = decompose_essential(E)
+    R = jnp.where(jnp.trace(R1) >= jnp.trace(R2), R1, R2)
+    ok = jnp.sum(inl) >= min_inliers
+    return ok, R.T
+
+
 # ----------------------------------------------------------------- hybrid
 
 def _translate_gn(R, p1, p2, depth1, w, iters: int = 10):

@@ -56,7 +56,13 @@ class EstimatorConfig:
     min_track_for_kf: int = 20     # last_track_num < 20 ⇒ keyframe (:416)
     estimate_extrinsic: int = 0    # 0 fixed, 1 refine, 2 calibrate-from-scratch
     estimate_td: int = 0           # 1 = solve camera-IMU time offset
-    dtype: type = jnp.float64
+    # Sampson-style stereo depth refinement (g_use_stereo_correction,
+    # parameters.cpp:48 — reference default TRUE)
+    use_stereo_correction: bool = True
+    # f32 is the product config: the solver's Jacobi scaling + Schur keep the
+    # reduced system well-conditioned in f32 (tests/test_estimator.py carries
+    # the f64-vs-f32 ATE ablation); f64 is emulated (slow) on TPU.
+    dtype: type = jnp.float32
 
 
 @dataclasses.dataclass
@@ -112,13 +118,30 @@ class Estimator:
         self.last_marg = MARGIN_OLD
         self.failures = 0
         self.n_solves = 0
+        self.lanes_dropped = 0   # new features lost to lane exhaustion
         self._relo = None
 
+        # IMU-rate forward-propagated state (predict()/update(),
+        # stereo_estimator_node.cpp:44-112): numpy host state + replay buffer
+        # of samples since the newest solved frame
+        self._latest = None           # dict(t, P, Q, V, Ba, Bg, acc, gyr)
+        self._imu_replay = []         # [(t, acc, gyr), ...]
+
         # stereo relative extrinsics per modality (cam-left → cam-right)
+        self._update_stereo_extrinsics()
+
+        # online camera-IMU rotation calibration (estimate_extrinsic == 2,
+        # estimator.cpp:226-242): accumulated (q_cam, q_imu) interval pairs
+        self._calib_pairs = []
+        self._ex_calib_done = cfg.estimate_extrinsic != 2
+
+    def _update_stereo_extrinsics(self):
+        """Recompute cached left→right transforms from the window extrinsics."""
+        dt = self.cfg.dtype
         self._rrl = {}
         self._trl = {}
-        ex_q = np.asarray(ex_q, np.float64)
-        ex_p = np.asarray(ex_p, np.float64)
+        ex_q = np.asarray(self.ws.ex_q, np.float64)
+        ex_p = np.asarray(self.ws.ex_p, np.float64)
         for name, (l, r) in (("img", (0, 2)), ("evt", (1, 3))):
             Rl = np.asarray(lie.quat_to_rot(jnp.asarray(ex_q[l])))
             Rr = np.asarray(lie.quat_to_rot(jnp.asarray(ex_q[r])))
@@ -145,6 +168,65 @@ class Estimator:
             self.imu_n[k] = n + 1
         self.acc0 = np.asarray(acc, float)
         self.gyr0 = np.asarray(gyr, float)
+
+    def predict(self, t: float, acc, gyr):
+        """IMU-rate low-latency state propagation (predict(),
+        stereo_estimator_node.cpp:44-93): midpoint-integrate the latest state
+        forward by one IMU sample; returns (P, Q, V) immediately (numpy, no
+        device round-trip).  Re-synced to the solved window by update()."""
+        from esvio_tpu.core import lie_np
+        acc = np.asarray(acc, float)
+        gyr = np.asarray(gyr, float)
+        self._imu_replay.append((float(t), acc, gyr))
+        g = np.array([0.0, 0.0, self.cfg.g_norm])
+        if self._latest is None:
+            k = min(self.frame_count, WINDOW)
+            self._latest = dict(
+                t=float(t), P=np.zeros(3), Q=np.array([1.0, 0, 0, 0]),
+                V=np.zeros(3), Ba=np.zeros(3), Bg=np.zeros(3),
+                acc=acc, gyr=gyr)
+            if self.solver_flag == "NON_LINEAR":
+                self._seed_latest_from_window(float(t))
+        s = self._latest
+        dt = float(t) - s["t"]
+        if dt <= 0 or dt > 1.0:
+            s["t"], s["acc"], s["gyr"] = float(t), acc, gyr
+            return s["P"].copy(), s["Q"].copy(), s["V"].copy()
+        un_acc_0 = lie_np.quat_rotate(s["Q"], s["acc"] - s["Ba"]) - g
+        un_gyr = 0.5 * (s["gyr"] + gyr) - s["Bg"]
+        s["Q"] = lie_np.quat_normalize(
+            lie_np.quat_mul(s["Q"], lie_np.delta_q(un_gyr * dt)))
+        un_acc_1 = lie_np.quat_rotate(s["Q"], acc - s["Ba"]) - g
+        un_acc = 0.5 * (un_acc_0 + un_acc_1)
+        s["P"] = s["P"] + dt * s["V"] + 0.5 * dt * dt * un_acc
+        s["V"] = s["V"] + dt * un_acc
+        s["t"], s["acc"], s["gyr"] = float(t), acc, gyr
+        return s["P"].copy(), s["Q"].copy(), s["V"].copy()
+
+    def _seed_latest_from_window(self, t):
+        k = min(self.frame_count, WINDOW)
+        self._latest.update(
+            t=t, P=np.asarray(self.ws.P[k], float),
+            Q=np.asarray(self.ws.Q[k], float),
+            V=np.asarray(self.ws.V[k], float),
+            Ba=np.asarray(self.ws.Ba[k], float),
+            Bg=np.asarray(self.ws.Bg[k], float))
+
+    def update_latest(self):
+        """Re-seed the IMU-rate state from the newest solved frame and replay
+        buffered IMU samples since its stamp (update(),
+        stereo_estimator_node.cpp:96-112)."""
+        if self._latest is None or self.solver_flag != "NON_LINEAR":
+            return
+        k = min(self.frame_count, WINDOW)
+        t_frame = float(self.timestamps[k])
+        self._imu_replay = [(t, a, w) for (t, a, w) in self._imu_replay
+                            if t > t_frame]
+        self._seed_latest_from_window(t_frame)
+        replay = self._imu_replay
+        self._imu_replay = []
+        for (t, a, w) in replay:
+            self.predict(t, a, w)
 
     def _interval_first_sample(self, k):
         """acc_0/gyr_0 linearization sample for interval k: last sample of k-1."""
@@ -232,14 +314,24 @@ class Estimator:
         if fc > 0:
             self._propagate_new_frame(fc)
 
-        self.book_evt, n_trk_e = self._insert(self.book_evt, pkt_evt, fc)
+        self.book_evt, n_trk_e, n_drop_e = self._insert(
+            self.book_evt, pkt_evt, fc)
+        self.lanes_dropped += int(n_drop_e)
         if pkt_img is not None:
-            self.book_img, n_trk_i = self._insert(self.book_img, pkt_img, fc)
+            self.book_img, n_trk_i, n_drop_i = self._insert(
+                self.book_img, pkt_img, fc)
+            self.lanes_dropped += int(n_drop_i)
             n_tracked = int(n_trk_i)
             par_book = self.book_img
         else:
             n_tracked = int(n_trk_e)
             par_book = self.book_evt
+
+        # online extrinsic-rotation calibration (estimate_extrinsic == 2,
+        # estimator.cpp:226-242) — runs until the hand-eye solve converges
+        if not self._ex_calib_done and fc > 0:
+            self._ex_rotation_step(fc, par_book,
+                                   0 if par_book is self.book_img else 1)
 
         # keyframe test (stereo_addFeatureCheckParallax :416-425)
         if fc < 2 or n_tracked < cfg.min_track_for_kf:
@@ -256,7 +348,10 @@ class Estimator:
             if fc < WINDOW:
                 self.frame_count += 1
                 return self._output(t, marg_flag)
-            ok = self._try_initialize() or self._try_initialize_mono()
+            # reference gates initialization on extrinsic calibration
+            # convergence (estimator.cpp:246: ESTIMATE_EXTRINSIC != 2)
+            ok = self._ex_calib_done and (
+                self._try_initialize() or self._try_initialize_mono())
             if not ok:
                 self._slide(MARGIN_OLD, skip_marg=True)
                 return self._output(t, marg_flag)
@@ -288,6 +383,57 @@ class Estimator:
                 self.prior = marg.marginalize_second_new(self.prior)
         self._slide(marg_flag)
         return self._output(t, marg_flag, relo=relo, keyframe=keyframe)
+
+    # -------------------------------------------- extrinsic self-calibration
+    def _interval_preint(self, k, ba=None, bg=None):
+        """Preintegrate one window interval (zero-bias default)."""
+        dt = self.cfg.dtype
+        a0, g0 = self._interval_first_sample(k)
+        mask = np.arange(self.cfg.imu_capacity) < int(self.imu_n[k])
+        p = pre.preintegrate_batch(
+            jnp.asarray(self.imu_dt[k][None], dt),
+            jnp.asarray(self.imu_acc[k][None], dt),
+            jnp.asarray(self.imu_gyr[k][None], dt), jnp.asarray(a0[None], dt),
+            jnp.asarray(g0[None], dt),
+            jnp.asarray((ba if ba is not None else np.zeros(3))[None], dt),
+            jnp.asarray((bg if bg is not None else np.zeros(3))[None], dt),
+            self.imu_params, jnp.asarray(mask[None]))
+        return jax.tree_util.tree_map(lambda x: x[0], p)
+
+    def _ex_rotation_step(self, fc, book, ex_idx):
+        """One CalibrationExRotation round (initial_ex_rotation.cpp via
+        estimator.cpp:226-242): camera relative rotation between frames
+        fc-1 → fc from the essential matrix + the interval's preintegrated
+        body rotation; solve the hand-eye system once ≥ WINDOW pairs exist."""
+        from esvio_tpu.init import ex_rotation, relative_pose
+        dt = self.cfg.dtype
+        corr = np.asarray(book.obs[:, fc - 1] & book.obs[:, fc] & book.active)
+        if corr.sum() < 9 or self.imu_n[fc] == 0:
+            return
+        p1 = jnp.asarray(np.asarray(book.un[:, fc - 1]), dt)
+        p2 = jnp.asarray(np.asarray(book.un[:, fc]), dt)
+        key = jax.random.PRNGKey((int(self.timestamps[fc] * 1e4) + fc)
+                                 & 0x7FFFFFFF)
+        ok, R12 = relative_pose.solve_relative_rotation(
+            key, p1, p2, jnp.asarray(corr))
+        if not bool(ok):
+            return
+        q_cam = np.asarray(lie.rot_to_quat(jnp.asarray(R12)))
+        q_imu = np.asarray(self._interval_preint(fc).delta_q)
+        self._calib_pairs.append((q_cam, q_imu))
+        self._calib_pairs = self._calib_pairs[-50:]
+        if len(self._calib_pairs) < WINDOW:
+            return
+        q_c = jnp.asarray(np.stack([p[0] for p in self._calib_pairs]), dt)
+        q_i = jnp.asarray(np.stack([p[1] for p in self._calib_pairs]), dt)
+        q, ok, _ = ex_rotation.calibrate_ex_rotation(
+            q_c, q_i, self.ws.ex_q[ex_idx])
+        if bool(ok):
+            self.ws = dataclasses.replace(
+                self.ws, ex_q=self.ws.ex_q.at[ex_idx].set(
+                    jnp.asarray(q, dt)))
+            self._update_stereo_extrinsics()
+            self._ex_calib_done = True   # → ESTIMATE_EXTRINSIC = 1 analog
 
     # ------------------------------------------------------- initialization
     def _try_initialize(self) -> bool:
@@ -342,6 +488,29 @@ class Estimator:
         # earlier frame with known pose (robust to brief tracking blackouts)
         R_wc = [np.eye(3)]
         t_wc = [np.zeros(3)]
+
+        def hybrid_step(f):
+            """relativePoseHybrid fallback when the PnP chain breaks:
+            E-matrix rotation + depth-anchored metric translation f-1 → f
+            (solveRelativeHybrid, solve_5pts.cpp:247-302)."""
+            from esvio_tpu.init import relative_pose
+            corr = active & obs[:, f - 1] & obs[:, f]
+            if corr.sum() < 12:
+                return None
+            depth1 = np.full(len(corr), -1.0)
+            for l in np.nonzero(corr & stereo[:, f - 1])[0]:
+                depth1[l] = stereo_depth(l, f - 1)
+            key = jax.random.PRNGKey((f * 9973 + 17) & 0x7FFFFFFF)
+            ok, R12, t12, n_good = relative_pose.solve_relative_hybrid(
+                key, jnp.asarray(un[:, f - 1], dt), jnp.asarray(un[:, f], dt),
+                jnp.asarray(depth1, dt), jnp.asarray(corr))
+            if not bool(ok):
+                return None
+            R12 = np.asarray(R12)
+            t12 = np.asarray(t12)
+            # x_{f-1} = R12 x_f + t12  ⇒  cam_f→world = (cam_{f-1}→world)∘R12
+            return R_wc[f - 1] @ R12, R_wc[f - 1] @ t12 + t_wc[f - 1]
+
         for f in range(1, win.N_STATES):
             pts_w, obs2 = [], []
             for l in np.nonzero(active)[0]:
@@ -361,9 +530,15 @@ class Estimator:
                 pts_w.append(R_wc[anchor] @ pc + t_wc[anchor])
                 obs2.append(un[l, f])
             if len(pts_w) < 6:
-                if getattr(self, "debug", False):
-                    print(f"init: frame {f}: only {len(pts_w)} PnP points")
-                return False
+                alt = hybrid_step(f)
+                if alt is None:
+                    if getattr(self, "debug", False):
+                        print(f"init: frame {f}: only {len(pts_w)} PnP points"
+                              f" and hybrid fallback failed")
+                    return False
+                R_wc.append(alt[0])
+                t_wc.append(alt[1])
+                continue
             pts_w = np.asarray(pts_w)
             obs2 = np.asarray(obs2)
             R0 = R_wc[f - 1].T  # world→cam seed
@@ -373,9 +548,15 @@ class Estimator:
                 jnp.ones(len(pts_w), bool), jnp.asarray(R0, dt),
                 jnp.asarray(t0, dt), iters=15)
             if float(err) > 5.0 / win.FOCAL:
-                if getattr(self, "debug", False):
-                    print(f"init: frame {f}: PnP err {float(err)*win.FOCAL:.2f} px")
-                return False
+                alt = hybrid_step(f)
+                if alt is None:
+                    if getattr(self, "debug", False):
+                        print(f"init: frame {f}: PnP err "
+                              f"{float(err)*win.FOCAL:.2f} px, no hybrid")
+                    return False
+                R_wc.append(alt[0])
+                t_wc.append(alt[1])
+                continue
             R_wc.append(np.asarray(R).T)
             t_wc.append(np.asarray(tt))
 
@@ -495,11 +676,14 @@ class Estimator:
 
     # ------------------------------------------------------------- helpers
     def _triangulate(self):
+        sc = self.cfg.use_stereo_correction
         self.book_img = fm.triangulate_stereo_instant(
-            self.book_img, self._rrl["img"], self._trl["img"])
+            self.book_img, self._rrl["img"], self._trl["img"],
+            stereo_correction=sc)
         self.book_img = fm.triangulate_multiview(self.book_img, self.ws, 0)
         self.book_evt = fm.triangulate_stereo_instant(
-            self.book_evt, self._rrl["evt"], self._trl["evt"])
+            self.book_evt, self._rrl["evt"], self._trl["evt"],
+            stereo_correction=sc)
         self.book_evt = fm.triangulate_multiview(self.book_evt, self.ws, 1)
 
     def _frozen_mask(self):

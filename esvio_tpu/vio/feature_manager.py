@@ -34,8 +34,10 @@ def insert_packet(book: FeatureBook, ids, valid, un, vel, right_valid, un_r,
     """Insert one tracker packet into window slot `frame_idx`.
 
     Features with known ids update their lane; new ids allocate free lanes
-    (oldest-free-first).  Returns (book, n_tracked) where n_tracked counts
-    features that extended an existing lane (reference last_track_num).
+    (oldest-free-first).  Returns (book, n_tracked, n_dropped): n_tracked
+    counts features that extended an existing lane (reference
+    last_track_num); n_dropped counts NEW features silently dropped because
+    every lane was occupied (size the book capacity so this stays 0).
     """
     L = book.ids.shape[0]
     P = ids.shape[0]
@@ -57,34 +59,35 @@ def insert_packet(book: FeatureBook, ids, valid, un, vel, right_valid, un_r,
 
     lane = jnp.where(matched, lane_of, alloc_lane)
     write = (matched | can_alloc) & valid
-    lane_safe = jnp.where(write, lane, 0)
+    # non-written entries scatter OUT OF BOUNDS and are dropped — routing
+    # them to a real lane would create duplicate-index write races
+    lane_safe = jnp.where(write, lane, L)
 
     def upd(arr, valnew):
-        return arr.at[lane_safe, frame_idx].set(
-            jnp.where(write[..., None] if valnew.ndim > 1 else write,
-                      valnew, arr[lane_safe, frame_idx]))
+        return arr.at[lane_safe, frame_idx].set(valnew, mode="drop")
 
+    stereo_new = jnp.where(right_valid, True,
+                           book.stereo.at[jnp.clip(lane_safe, 0, L - 1),
+                                          frame_idx].get())
     book = dataclasses.replace(
         book,
         un=upd(book.un, un), vel=upd(book.vel, vel),
         un_r=upd(book.un_r, un_r), vel_r=upd(book.vel_r, vel_r),
-        obs=book.obs.at[lane_safe, frame_idx].set(
-            jnp.where(write, True, book.obs[lane_safe, frame_idx])),
+        obs=book.obs.at[lane_safe, frame_idx].set(True, mode="drop"),
         stereo=book.stereo.at[lane_safe, frame_idx].set(
-            jnp.where(write & right_valid, True,
-                      book.stereo[lane_safe, frame_idx])),
-        td_obs=book.td_obs.at[lane_safe, frame_idx].set(
-            jnp.where(write, td, book.td_obs[lane_safe, frame_idx])),
-        ids=book.ids.at[lane_safe].set(
-            jnp.where(write, ids, book.ids[lane_safe])),
-        active=book.active.at[lane_safe].set(
-            jnp.where(write, True, book.active[lane_safe])),
+            stereo_new, mode="drop"),
+        td_obs=book.td_obs.at[lane_safe, frame_idx].set(td, mode="drop"),
+        ids=book.ids.at[lane_safe].set(ids, mode="drop"),
+        active=book.active.at[lane_safe].set(True, mode="drop"),
         inv_depth=book.inv_depth.at[lane_safe].set(
-            jnp.where(write & ~matched, 0.0, book.inv_depth[lane_safe])),
+            jnp.where(matched, book.inv_depth[jnp.clip(lane_safe, 0, L - 1)],
+                      0.0), mode="drop"),
         depth_valid=book.depth_valid.at[lane_safe].set(
-            jnp.where(write & ~matched, False, book.depth_valid[lane_safe])),
+            jnp.where(matched,
+                      book.depth_valid[jnp.clip(lane_safe, 0, L - 1)], False),
+            mode="drop"),
     )
-    return book, n_tracked
+    return book, n_tracked, jnp.sum(need & ~can_alloc)
 
 
 @functools.partial(jax.jit, static_argnames=("frame_count",))
@@ -124,11 +127,17 @@ def _dlt_two_view(pose0, pose1, p0, p1):
     return v[:3] / v[3]
 
 
-@jax.jit
-def triangulate_stereo_instant(book: FeatureBook, Rrl, Trl):
+@functools.partial(jax.jit, static_argnames=("stereo_correction",))
+def triangulate_stereo_instant(book: FeatureBook, Rrl, Trl,
+                               stereo_correction: bool = False):
     """Per-feature instant stereo depth at the start frame with the reference
     gates (getDepth :5-121): disparity sign, depth ∈ (1, 7) m, right depth > 1,
     reprojection error ≤ 2/FOCAL on both views.
+
+    `stereo_correction=True` adds the reference's g_use_stereo_correction
+    branch (:65-121): one first-order Sampson step moves the matched pair
+    onto the epipolar manifold before re-triangulating; the corrected depth
+    is used only where it reduces BOTH reprojection errors.
     """
     dtype = book.un.dtype
     s = start_frame(book)
@@ -140,24 +149,42 @@ def triangulate_stereo_instant(book: FeatureBook, Rrl, Trl):
     pose0 = jnp.concatenate([jnp.eye(3, dtype=dtype), jnp.zeros((3, 1), dtype)], 1)
     pose1 = jnp.concatenate([Rrl.astype(dtype), Trl.astype(dtype)[:, None]], 1)
 
-    def one(pa, pb):
-        return _dlt_two_view(pose0, pose1, pa, pb)
+    def tri_and_errs(pa, pb):
+        pt3 = jax.vmap(lambda a, b: _dlt_two_view(pose0, pose1, a, b))(pa, pb)
+        depth = pt3[:, 2]
+        proj0 = pt3[:, :2] / jnp.where(jnp.abs(depth) > 1e-9, depth,
+                                       1e-9)[:, None]
+        pt_r = pt3 @ Rrl.T + Trl
+        zr = pt_r[:, 2]
+        proj1 = pt_r[:, :2] / jnp.where(jnp.abs(zr) > 1e-9, zr, 1e-9)[:, None]
+        err0 = jnp.linalg.norm(proj0 - pa, axis=-1)
+        err1 = jnp.linalg.norm(proj1 - pb, axis=-1)
+        return depth, zr, err0, err1
 
-    pt3 = jax.vmap(one)(p0, p1)
-    depth = pt3[:, 2]
-
-    proj0 = pt3[:, :2] / jnp.where(jnp.abs(depth) > 1e-9, depth, 1e-9)[:, None]
-    pt_r = pt3 @ Rrl.T + Trl
-    zr = pt_r[:, 2]
-    proj1 = pt_r[:, :2] / jnp.where(jnp.abs(zr) > 1e-9, zr, 1e-9)[:, None]
-    err0 = jnp.linalg.norm(proj0 - p0, axis=-1)
-    err1 = jnp.linalg.norm(proj1 - p1, axis=-1)
-
+    depth, zr, err0, err1 = tri_and_errs(p0, p1)
     good = (
         has_stereo0 & book.active & (p0[:, 0] >= p1[:, 0])
         & (depth > 1.0) & (depth < 7.0) & (zr > 1.0)
         & (err0 <= 2.0 / FOCAL) & (err1 <= 2.0 / FOCAL)
     )
+
+    if stereo_correction:
+        # Sampson step on homogeneous normalized pairs (getDepth :65-121):
+        # G = [Trl]× Rrlᵀ, fe = n0ᵀ G n1; Pk kills the z component
+        n0 = jnp.concatenate([p0, jnp.ones((L, 1), dtype)], 1)
+        n1 = jnp.concatenate([p1, jnp.ones((L, 1), dtype)], 1)
+        G = lie.skew(Trl.astype(dtype)) @ Rrl.astype(dtype).T
+        fe = jnp.einsum("li,ij,lj->l", n0, G, n1)
+        v1 = (n0 @ G).at[:, 2].set(0.0)          # Pk Gᵀ n0
+        v2 = (n1 @ G.T).at[:, 2].set(0.0)        # Pk G n1
+        de = jnp.sum(v1 * v1, 1) + jnp.sum(v2 * v2, 1)
+        de = jnp.where(de > 1e-12, de, 1.0)
+        c0 = (p0 - (fe / de)[:, None] * v2[:, :2])
+        c1 = (p1 - (fe / de)[:, None] * v1[:, :2])
+        depth_c, zr_c, err0_c, err1_c = tri_and_errs(c0, c1)
+        improved = good & (zr_c > 1.0) & (err0_c <= err0) & (err1_c <= err1)
+        depth = jnp.where(improved, depth_c, depth)
+
     take = good & ~book.depth_valid
     inv_depth = jnp.where(take, 1.0 / jnp.maximum(depth, 1e-6), book.inv_depth)
     return dataclasses.replace(

@@ -264,7 +264,9 @@ def render_plane(tex, margin, H, W, focal, cx, cy, R_wc, t_wc, plane_z,
 
 def planar_vio_sequence_rot(rng, H=120, W=160, focal=200.0, plane_z=4.0,
                             baseline=0.10, duration=2.0, imu_hz=200,
-                            event_hz=400, g_norm=9.80766, rot_amp_deg=4.0):
+                            event_hz=400, g_norm=9.80766, rot_amp_deg=4.0,
+                            frame_hz=0, img_H=None, img_W=None,
+                            img_focal=None):
     """Stereo events + IMU from a camera over a textured plane WITH rotational
     excitation (pitch/roll wobble) so gravity/bias are observable."""
     import jax.numpy as jnp
@@ -351,10 +353,35 @@ def planar_vio_sequence_rot(rng, H=120, W=160, focal=200.0, plane_z=4.0,
     tl, xl, yl, pl = gen_events(np.zeros(3))
     tr, xr, yr, pr = gen_events(np.array([baseline, 0.0, 0.0]))
 
+    # optional stereo FRAMES at their own (possibly different) geometry —
+    # exercises the ESVIO image path with image_width/height ≠ event dims
+    images_l = images_r = None
+    if frame_hz:
+        fH = img_H or H
+        fW = img_W or W
+        ff = img_focal or focal * (fW / W)   # same FOV by default
+        fcx, fcy = fW / 2, fH / 2
+        f_t = np.arange(t0 + 0.5 / frame_hz, t0 + duration, 1.0 / frame_hz)
+
+        def render_frames(cam_offset):
+            frames = np.zeros((len(f_t), fH, fW), np.float32)
+            for k, t in enumerate(f_t):
+                tt = t - t0
+                R = rot(tt)[0]
+                p = pos(np.atleast_1d(tt))[0] + R @ cam_offset
+                frames[k] = render_plane(tex, margin, fH, fW, ff, fcx, fcy,
+                                         R, p, plane_z, tex_scale, tex_cx,
+                                         tex_cy)
+            return frames
+
+        images_l = (f_t, render_frames(np.zeros(3)))
+        images_r = (f_t, render_frames(np.array([baseline, 0.0, 0.0])))
+
     seq = ds.SequenceData(
         events_left=ds.EventStream(tl, xl, yl, pl),
         events_right=ds.EventStream(tr, xr, yr, pr),
         imu=ds.ImuStream(imu_t, acc, gyr),
+        images_left=images_l, images_right=images_r,
         ground_truth=(imu_t, pos(imu_t - t0)),
     )
     return seq, imu_t, pos(imu_t - t0)
