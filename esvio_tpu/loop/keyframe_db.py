@@ -120,10 +120,11 @@ class KeyFrameDB:
             loop_target=self.loop_target)
 
     @classmethod
-    def load(cls, path) -> "KeyFrameDB":
+    def load(cls, path, skip_recent=SKIP_RECENT) -> "KeyFrameDB":
         z = np.load(path)
         db = cls(capacity=len(z["stamp"]), n_window=z["win_pts"].shape[1],
-                 n_extra=z["ext_un"].shape[1], bits=z["gdesc"].shape[1])
+                 n_extra=z["ext_un"].shape[1], bits=z["gdesc"].shape[1],
+                 skip_recent=skip_recent)
         db.count = int(z["count"])
         for name in ("stamp", "t_vio", "q_vio", "t_opt", "q_opt", "sequence",
                      "win_pts", "win_un", "win_desc", "win_valid", "ext_un",

@@ -35,6 +35,12 @@ class LoopConfig:
     graph_capacity: int = 2048
     loop_capacity: int = 256
     skip_recent: int = 50
+    # node-level keyframe throttles (pose_graph_node.cpp:345-375):
+    # skip the first N keyframes, keep 1-in-(skip_cnt+1), require ≥ skip_dis
+    # metres of travel between registered keyframes
+    skip_first_cnt: int = 0
+    skip_cnt: int = 0
+    skip_dis: float = 0.0
 
 
 class LoopCloser:
@@ -50,6 +56,14 @@ class LoopCloser:
         self.key = jax.random.PRNGKey(7)
         self.first_loop_idx: Optional[int] = None
         self.kf_ids = []          # per-KF feature ids of the window points
+        # inter-sequence/map fusion shift applied to incoming VIO poses
+        # (w_r_vio/w_t_vio, pose_graph.cpp:72-73,124-145)
+        self.w_r_vio = np.eye(3)
+        self.w_t_vio = np.zeros(3)
+        self._fused_sequences = {0}   # sequences already in the world frame
+        self._n_seen = 0              # keyframe throttle counters
+        self._n_since_kept = 0
+        self._last_kept_P = None
 
     # ------------------------------------------------------------------ add
     def add_keyframe(self, stamp, t_w, q_w, win_pts_w, win_uv, win_valid,
@@ -59,6 +73,30 @@ class LoopCloser:
         win_pts_w: (P, 3) world landmarks of the sliding window seen by this
         keyframe; win_uv: (P, 2) their pixel coords in `image`.
         """
+        # node throttles (SKIP_FIRST_CNT / SKIP_CNT / SKIP_DIS,
+        # pose_graph_node.cpp:345-375)
+        self._n_seen += 1
+        if self._n_seen <= self.cfg.skip_first_cnt:
+            return None
+        self._n_since_kept += 1
+        if self._n_since_kept <= self.cfg.skip_cnt:
+            return None
+        if self._last_kept_P is not None and self.cfg.skip_dis > 0 and \
+                np.linalg.norm(np.asarray(t_w) - self._last_kept_P) \
+                < self.cfg.skip_dis:
+            return None
+        self._n_since_kept = 0
+        self._last_kept_P = np.asarray(t_w, float).copy()
+
+        # map the incoming VIO pose into the fused world frame
+        # (addKeyFrame entry, pose_graph.cpp:70-75)
+        t_w = self.w_r_vio @ np.asarray(t_w, float) + self.w_t_vio
+        R_w = self.w_r_vio @ np.asarray(
+            lie.quat_to_rot(jnp.asarray(np.asarray(q_w, float))))
+        q_w = np.asarray(lie.rot_to_quat(jnp.asarray(R_w)))
+        win_pts_w = self.w_r_vio @ np.asarray(win_pts_w, float).T
+        win_pts_w = win_pts_w.T + self.w_t_vio
+
         img = jnp.asarray(image, jnp.float32)
         # descriptors at window points (computeWindowBRIEFPoint)
         win_desc = np.asarray(brief.describe(
@@ -88,6 +126,13 @@ class LoopCloser:
         info = self._find_connection(idx, cand)
         if info is None:
             return None
+        # inter-sequence / loaded-map fusion: the first loop from a sequence
+        # not yet in the world frame shifts that whole sequence
+        # (pose_graph.cpp:124-145)
+        if sequence not in self._fused_sequences:
+            self._apply_sequence_shift(idx, cand, info, sequence)
+        self.db.has_loop[idx] = True
+        self.db.loop_target[idx] = cand
         self.loops.append(info)
         if self.first_loop_idx is None or info["i_old"] < self.first_loop_idx:
             self.first_loop_idx = info["i_old"]
@@ -142,12 +187,77 @@ class LoopCloser:
         match_ids = self.kf_ids[j_new][win_lanes] \
             if j_new < len(self.kf_ids) else np.full(len(win_lanes), -1)
         return dict(i_old=i_old, j_new=j_new, rel_t=rel_t, rel_yaw=rel_yaw,
-                    n_inliers=n_inl,
+                    rel_R=rel_R, n_inliers=n_inl,
                     stamp_new=float(dbw.stamp[j_new]),
                     match_ids=match_ids,
                     match_un_old=obs_old[win_lanes],
                     t_old=dbw.t_vio[i_old].copy(),
                     q_old=dbw.q_vio[i_old].copy())
+
+    # --------------------------------------------------------- map fusion
+    def _apply_sequence_shift(self, j_new, i_old, info, sequence):
+        """First loop from an unfused sequence: yaw+translation shift of the
+        whole sequence into the world frame (pose_graph.cpp:124-145,
+        new_sequence pose_graph_node.cpp:79-103)."""
+        db = self.db
+        R_old = np.asarray(lie.quat_to_rot(jnp.asarray(db.q_vio[i_old])))
+        t_old = db.t_vio[i_old]
+        w_R_cur = R_old @ info["rel_R"]
+        w_P_cur = R_old @ info["rel_t"] + t_old
+        vio_R_cur = np.asarray(lie.quat_to_rot(jnp.asarray(db.q_vio[j_new])))
+        vio_P_cur = db.t_vio[j_new]
+        yaw_w = float(np.asarray(lie.rot_to_ypr(jnp.asarray(w_R_cur)))[0])
+        yaw_v = float(np.asarray(lie.rot_to_ypr(jnp.asarray(vio_R_cur)))[0])
+        shift_r = np.asarray(lie.ypr_to_rot(
+            jnp.asarray([yaw_w - yaw_v, 0.0, 0.0])))
+        shift_t = w_P_cur - shift_r @ vio_P_cur
+        self.w_r_vio = shift_r
+        self.w_t_vio = shift_t
+        for j in np.nonzero(db.sequence[:db.count] == sequence)[0]:
+            db.t_vio[j] = shift_r @ db.t_vio[j] + shift_t
+            Rj = np.asarray(lie.quat_to_rot(jnp.asarray(db.q_vio[j])))
+            db.q_vio[j] = np.asarray(lie.rot_to_quat(jnp.asarray(shift_r @ Rj)))
+            db.t_opt[j] = db.t_vio[j]
+            db.q_opt[j] = db.q_vio[j]
+            db.win_pts[j] = db.win_pts[j] @ shift_r.T + shift_t
+        self._fused_sequences.add(sequence)
+
+    # ------------------------------------------------------------ persistence
+    def save(self, path):
+        """Persist the FULL pose-graph state: keyframe arrays + loops, drift,
+        fusion shift, feature ids (savePoseGraph, pose_graph.cpp:705-760)."""
+        import pickle
+        self.db.save(path)
+        meta = dict(
+            loops=self.loops, r_drift=self.r_drift, t_drift=self.t_drift,
+            first_loop_idx=self.first_loop_idx, w_r_vio=self.w_r_vio,
+            w_t_vio=self.w_t_vio,
+            fused_sequences=sorted(self._fused_sequences),
+            kf_ids=self.kf_ids)
+        with open(str(path) + ".meta.pkl", "wb") as f:
+            pickle.dump(meta, f)
+
+    @classmethod
+    def load(cls, path, cfg: LoopConfig = LoopConfig(), cam=None
+             ) -> "LoopCloser":
+        """Reload a saved pose graph for multi-session reuse
+        (loadPoseGraph + load_previous_pose_graph,
+        pose_graph_node.cpp:589-597): descriptors and retrieval index come
+        back with the database; subsequent sequences fuse on first loop."""
+        import pickle
+        lc = cls(cfg=cfg, cam=cam)
+        lc.db = keyframe_db.KeyFrameDB.load(path, skip_recent=cfg.skip_recent)
+        with open(str(path) + ".meta.pkl", "rb") as f:
+            meta = pickle.load(f)
+        lc.loops = meta["loops"]
+        lc.r_drift = meta["r_drift"]
+        lc.t_drift = meta["t_drift"]
+        lc.first_loop_idx = meta["first_loop_idx"]
+        lc.w_r_vio = meta["w_r_vio"]
+        lc.w_t_vio = meta["w_t_vio"]
+        lc._fused_sequences = set(meta["fused_sequences"])
+        lc.kf_ids = meta["kf_ids"]
+        return lc
 
     # ------------------------------------------------------------- 4-DoF opt
     def _optimize(self):
@@ -211,8 +321,12 @@ class LoopCloser:
         self.t_drift = db.t_opt[last] - self.r_drift @ db.t_vio[last]
 
     def correct_odometry(self, t_w, q_w):
-        """Apply current drift to an incoming VIO pose (pose_graph_node:241-318)."""
+        """Apply sequence shift + loop drift to an incoming VIO pose
+        (vio_callback, pose_graph_node.cpp:241-318: w_r_vio/w_t_vio first,
+        then r_drift/t_drift)."""
         R = np.asarray(lie.quat_to_rot(jnp.asarray(q_w)))
-        t_c = self.r_drift @ np.asarray(t_w) + self.t_drift
-        R_c = self.r_drift @ R
+        t_v = self.w_r_vio @ np.asarray(t_w) + self.w_t_vio
+        R_v = self.w_r_vio @ R
+        t_c = self.r_drift @ t_v + self.t_drift
+        R_c = self.r_drift @ R_v
         return t_c, np.asarray(lie.rot_to_quat(jnp.asarray(R_c)))
