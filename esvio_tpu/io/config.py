@@ -71,6 +71,7 @@ class SystemConfig:
     feature_filter_threshold: float = 0.01
     do_motion_correction: bool = False
     # back-end
+    use_stereo_correction: int = 1   # rosparam use_stereo_correction
     max_solver_time: float = 0.04
     max_num_iterations: int = 8
     keyframe_parallax: float = 10.0
@@ -170,6 +171,7 @@ def load_config(path) -> SystemConfig:
         "median_blur_kernel_size": int,
         "feature_filter_threshold": float,
         "Do_motion_correction": ("do_motion_correction", lambda v: bool(int(v))),
+        "use_stereo_correction": int,
         "max_solver_time": float, "max_num_iterations": int,
         "keyframe_parallax": float, "acc_n": float, "gyr_n": float,
         "acc_w": float, "gyr_w": float, "g_norm": float, "estimate_td": int,

@@ -88,6 +88,65 @@ def load_dsec_h5(events_left_path, events_right_path, imu_path=None):
     return SequenceData(left, right, imu)
 
 
+def save_npz(seq: SequenceData, path):
+    """Write SequenceData in the packed npz format `load_npz` reads (the
+    output format of the rosbag/MVSEC converters)."""
+    arrs = {}
+    for prefix, ev in (("ev_left", seq.events_left),
+                       ("ev_right", seq.events_right)):
+        arrs[f"{prefix}_t"] = ev.t
+        arrs[f"{prefix}_x"] = ev.x
+        arrs[f"{prefix}_y"] = ev.y
+        arrs[f"{prefix}_p"] = ev.p
+    if seq.imu is not None:
+        arrs["imu_t"] = seq.imu.t
+        arrs["imu_acc"] = seq.imu.acc
+        arrs["imu_gyr"] = seq.imu.gyr
+    if seq.images_left is not None:
+        arrs["img_left_t"], arrs["img_left"] = seq.images_left
+    if seq.images_right is not None:
+        arrs["img_right_t"], arrs["img_right"] = seq.images_right
+    if seq.ground_truth is not None:
+        arrs["gt_t"], arrs["gt_p"] = seq.ground_truth
+    np.savez_compressed(path, **arrs)
+
+
+def load_mvsec_h5(data_path, gt_path=None) -> SequenceData:
+    """MVSEC-format HDF5 (indoor_flying etc.): davis/{left,right}/events
+    (N, 4: x, y, t, p∈{-1,1}), davis/left/imu (M, 6: ax ay az wx wy wz) +
+    imu_ts, image_raw (+_ts); ground-truth poses from the companion _gt.hdf5
+    (davis/left/pose (K, 4, 4) + pose_ts)."""
+    import h5py
+
+    with h5py.File(data_path, "r") as f:
+        def ev(side):
+            e = np.asarray(f[f"davis/{side}/events"])
+            return EventStream(e[:, 2].astype(np.float64),
+                               e[:, 0].astype(np.int32),
+                               e[:, 1].astype(np.int32),
+                               (e[:, 3] > 0).astype(np.int32))
+        left = ev("left")
+        right = ev("right") if "davis/right/events" in f else left
+        imu = None
+        if "davis/left/imu" in f:
+            m = np.asarray(f["davis/left/imu"])
+            ts = np.asarray(f["davis/left/imu_ts"])
+            imu = ImuStream(ts.astype(np.float64), m[:, 0:3], m[:, 3:6])
+        imgs_l = imgs_r = None
+        if "davis/left/image_raw" in f:
+            imgs_l = (np.asarray(f["davis/left/image_raw_ts"], np.float64),
+                      np.asarray(f["davis/left/image_raw"]))
+        if "davis/right/image_raw" in f:
+            imgs_r = (np.asarray(f["davis/right/image_raw_ts"], np.float64),
+                      np.asarray(f["davis/right/image_raw"]))
+    gt = None
+    if gt_path:
+        with h5py.File(gt_path, "r") as f:
+            T = np.asarray(f["davis/left/pose"])
+            gt = (np.asarray(f["davis/left/pose_ts"], np.float64), T[:, :3, 3])
+    return SequenceData(left, right, imu, imgs_l, imgs_r, gt)
+
+
 def iterate_chunks(stream: EventStream, freq: float, capacity: int,
                    t_start=None, t_end=None) -> Iterator[Tuple[float, EventChunk]]:
     """Yield (t_frame, EventChunk) at the publish rate; chunk = events since
@@ -104,6 +163,32 @@ def iterate_chunks(stream: EventStream, freq: float, capacity: int,
         yield float(edges[k]), chunk_from_arrays(
             stream.t[lo:hi], stream.x[lo:hi], stream.y[lo:hi], stream.p[lo:hi],
             capacity)
+
+
+def iterate_chunks_fast(stream: EventStream, freq: float, capacity: int,
+                        t_start=None, t_end=None
+                        ) -> Iterator[Tuple[float, EventChunk]]:
+    """`iterate_chunks` through the native C++ packetizer when built
+    (esvio_tpu/native/packetizer.cc via io/native.py) — one batch call packs
+    the whole stream into padded frame arrays; yields the same
+    (stamp, EventChunk) sequence.  Falls back to the numpy path."""
+    from esvio_tpu.io import native
+
+    if native.get_lib() is None:
+        yield from iterate_chunks(stream, freq, capacity, t_start, t_end)
+        return
+    import jax.numpy as jnp
+
+    t0 = stream.t[0] if t_start is None else t_start
+    t1 = stream.t[-1] if t_end is None else t_end
+    dt = 1.0 / freq
+    n_frames = max(len(np.arange(t0, t1 + dt, dt)) - 1, 0)
+    stamps, ts, xs, ys, ps, vs = native.packetize(
+        stream.t, stream.x, stream.y, stream.p, t0, freq, capacity, n_frames)
+    for k in range(len(stamps)):
+        yield float(stamps[k]), EventChunk(
+            t=jnp.asarray(ts[k]), x=jnp.asarray(xs[k]), y=jnp.asarray(ys[k]),
+            p=jnp.asarray(ps[k]), valid=jnp.asarray(vs[k]))
 
 
 def imu_between(imu: ImuStream, t0: float, t1: float):

@@ -68,3 +68,39 @@ def test_calibrate_pinhole(rng, tmp_path):
     ray = cam_mod.lift_projective(cam2, uv)
     back = cam_mod.space_to_plane(cam2, ray)
     assert np.allclose(np.asarray(back), np.asarray(uv), atol=1e-2)
+
+
+def render_chessboard(rows, cols, square=20, margin=30, warp=None, rng=None):
+    """Synthetic chessboard image with (rows, cols) INNER corners; returns
+    (img, inner corner coords row-major)."""
+    ny, nx = rows + 1, cols + 1
+    H = ny * square + 2 * margin
+    W = nx * square + 2 * margin
+    y, x = np.mgrid[0:H, 0:W]
+    bx = (x - margin) // square
+    by = (y - margin) // square
+    inside = (x >= margin) & (x < W - margin) & (y >= margin) & (y < H - margin)
+    img = np.where(inside & (((bx + by) % 2) == 0), 220.0, 40.0)
+    img = np.where(inside, img, 130.0)
+    corners = np.stack(np.meshgrid(
+        margin + square * np.arange(1, nx),
+        margin + square * np.arange(1, ny), indexing="xy"), -1)
+    corners = corners.reshape(rows, cols, 2).reshape(-1, 2).astype(float)
+    if rng is not None:
+        img = img + rng.normal(0, 3.0, img.shape)
+    return img, corners
+
+
+def test_chessboard_detection(rng):
+    """find_chessboard (Chessboard.cc analog): all inner corners found,
+    ordered row-major, sub-pixel accurate."""
+    from esvio_tpu.apps.chessboard import find_chessboard
+
+    rows, cols = 5, 7
+    img, gt = render_chessboard(rows, cols, rng=rng)
+    grid, ok = find_chessboard(img, rows, cols)
+    assert ok, "chessboard not found"
+    assert grid.shape == (rows * cols, 2)
+    err = np.linalg.norm(grid - gt, axis=1)
+    assert err.max() < 1.0, err.max()
+    assert err.mean() < 0.5, err.mean()

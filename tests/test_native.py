@@ -59,3 +59,30 @@ def test_imu_between_matches_numpy(lib, rng):
     np.testing.assert_allclose(ts_n, ts_r, atol=1e-12)
     np.testing.assert_allclose(acc_n, acc_r, atol=1e-12)
     np.testing.assert_allclose(gyr_n, gyr_r, atol=1e-12)
+
+
+def test_iterate_chunks_fast_parity(rng):
+    """Pipeline ingestion path: native packetizer chunks == numpy chunks."""
+    from esvio_tpu.io import native
+    from esvio_tpu.io.datasets import EventStream, iterate_chunks, \
+        iterate_chunks_fast
+
+    n = 5000
+    t = np.sort(rng.uniform(2.0, 3.0, n))
+    x = rng.integers(0, 160, n).astype(np.int32)
+    y = rng.integers(0, 120, n).astype(np.int32)
+    p = rng.integers(0, 2, n).astype(np.int32)
+    stream = EventStream(t, x, y, p)
+
+    fast = list(iterate_chunks_fast(stream, 15.0, 256))
+    ref = list(iterate_chunks(stream, 15.0, 256))
+    assert native.get_lib() is not None, "native lib should build here"
+    assert len(fast) >= len(ref) - 1          # native may stop at data end
+    for (sf, cf), (sr, cr) in zip(fast, ref):
+        assert abs(sf - sr) < 1e-9
+        np.testing.assert_array_equal(np.asarray(cf.valid), np.asarray(cr.valid))
+        np.testing.assert_array_equal(np.asarray(cf.x), np.asarray(cr.x))
+        np.testing.assert_array_equal(np.asarray(cf.y), np.asarray(cr.y))
+        np.testing.assert_array_equal(np.asarray(cf.p), np.asarray(cr.p))
+        np.testing.assert_allclose(np.asarray(cf.t), np.asarray(cr.t),
+                                   atol=1e-6)

@@ -56,11 +56,14 @@ def test_esio_pipeline_events_to_trajectory(rng):
         f"too few NON_LINEAR outputs: {len(res.stamps)}"
     assert res.n_restarts == 0
     # yaw-aligned ATE (the standard VIO metric; world yaw is gauge).
-    # TODO(round2): tighten — the synthetic event stream quantizes heavily
-    # (frame-difference events at 400 Hz), limiting front-end accuracy.
+    # Gate tightened round 2 (was 0.3): measured 0.06–0.17 m across
+    # spacing/dtype variants on this scene — the residual spread is seed
+    # sensitivity of the quantized synthetic event stream (frame-difference
+    # events at 400 Hz), not solver error (cf. test_estimator gates at
+    # 0.12 m with clean packets).
     ate = res.ate(gt_t, gt_P, alignment="yaw")
     assert np.isfinite(ate)
-    assert ate < 0.3, f"ATE {ate:.3f} m"
+    assert ate < 0.22, f"ATE {ate:.3f} m"
 
 
 @pytest.mark.slow
@@ -99,3 +102,57 @@ def test_pipeline_with_loop_closure_wiring(rng):
     assert res.P_loop is not None and len(res.P_loop) == len(res.stamps)
     # no loop on this path ⇒ corrected == raw
     assert np.allclose(np.asarray(res.P_loop), np.asarray(res.P))
+
+
+@pytest.mark.slow
+def test_esvio_mixed_resolution_image_path(rng):
+    """ESVIO mode with image geometry ≠ event geometry: frames at 240×320
+    (focal 400) + events at 120×160 (focal 200), separate budgets.  The image
+    tracker must run at image dims (stereo_image_tracker_node.cpp:315,
+    parameters.cpp:100) and both books must contribute solved factors."""
+    seq, gt_t, gt_P = planar_vio_sequence_rot(
+        rng, H=H, W=W, focal=FOCAL, plane_z=PLANE_Z, baseline=BASELINE,
+        duration=2.0, frame_hz=15, img_H=240, img_W=320, img_focal=400.0)
+    assert seq.images_left is not None
+    assert seq.images_left[1].shape[1:] == (240, 320)
+
+    cam_e = camera.make_pinhole(fx=FOCAL, fy=FOCAL, cx=W / 2, cy=H / 2,
+                                width=W, height=H)
+    cam_i = camera.make_pinhole(fx=400.0, fy=400.0, cx=160, cy=120,
+                                width=320, height=240)
+    R_ident = np.eye(3)
+    sys_cfg = SystemConfig(
+        system_mode=1, event_width=W, event_height=H,
+        image_width=320, image_height=240,
+        R_body_cam0=R_ident, t_body_cam0=np.zeros(3),
+        R_body_cam1=R_ident, t_body_cam1=np.array([BASELINE, 0, 0]),
+        R_body_event0=R_ident, t_body_event0=np.zeros(3),
+        R_body_event1=R_ident, t_body_event1=np.array([BASELINE, 0, 0]),
+        freq=15, max_cnt=60, min_dist=10, max_cnt_img=60, min_dist_img=16,
+        loop_closure=0,
+    )
+    cams = {"event0": cam_e, "event1": cam_e, "cam0": cam_i, "cam1": cam_i}
+    tracker_cfg = trk.TrackerConfig(
+        width=W, height=H, capacity=128, cand_capacity=512, max_cnt=60,
+        min_dist=10, lk_iters=15)
+    img_cfg = trk.TrackerConfig(
+        width=320, height=240, capacity=128, cand_capacity=512, max_cnt=60,
+        min_dist=16, lk_iters=15)
+    est_cfg = est_mod.EstimatorConfig(mode="esvio", evt_capacity=256,
+                                      img_capacity=256, min_track_for_kf=15)
+    pipe = Pipeline(sys_cfg, cams, tracker_cfg=tracker_cfg,
+                    img_tracker_cfg=img_cfg, est_cfg=est_cfg,
+                    event_capacity=1 << 15)
+    assert pipe.img_tracker_cfg.width == 320
+    assert pipe.img_tracker_cfg.min_dist == 16
+    res = pipe.run(seq)
+
+    assert len(res.stamps) >= 10, f"too few outputs: {len(res.stamps)}"
+    # both books carried solved factors
+    import jax.numpy as jnp
+    bi = pipe.estimator.book_img
+    be = pipe.estimator.book_evt
+    assert bool(jnp.any(bi.active & bi.depth_valid)), "image book empty"
+    assert bool(jnp.any(be.active & be.depth_valid)), "event book empty"
+    ate = res.ate(gt_t, gt_P, alignment="yaw")
+    assert np.isfinite(ate) and ate < 0.3, f"ATE {ate:.3f} m"
