@@ -3,9 +3,15 @@
 TPU-native replacement for the cv::calcOpticalFlowPyrLK calls in the
 reference front end (feature_tracker.cpp:185,410,490): Bouguet's algorithm —
 template window + Scharr gradients from the previous image, Gauss-Newton
-iterations sampling the current image bilinearly — `vmap`-ed over all
-features with a fixed iteration count and convergence masking (static
-shapes; no data-dependent control flow).
+iterations sampling the current image bilinearly — batched over all features
+with a fixed iteration count and convergence masking (static shapes).
+
+TPU mapping: random-access bilinear gathers scalarize on TPU (measured
+~4 ms per (256, 441) gather), so sampling is restructured MXU-first:
+one vmapped `dynamic_slice` per level pulls a fixed-size patch around each
+feature (block copies, fast), and every bilinear resample inside the GN
+loop becomes two small batched matmuls against separable hat-function
+weight matrices — pure MXU work, no gathers in the hot loop.
 
 Defaults mirror the reference: 21×21 window, 4 pyramid levels (maxLevel=3),
 OpenCV TermCriteria (30, 0.01).  Forward-backward checking is done by the
@@ -21,87 +27,113 @@ import jax.numpy as jnp
 
 WIN = 21
 HALF = WIN // 2
+PATCH = 48              # per-feature patch side (tracking range ≈ ±13 px/level)
 _MIN_EIG_THRESH = 1e-4  # OpenCV minEigThreshold (per-pixel normalized)
 
 
-def _bilinear(img, ys, xs):
-    """Bilinear sample img (H, W) at float coords; clamped at borders."""
-    H, W = img.shape
-    x0 = jnp.floor(xs)
-    y0 = jnp.floor(ys)
-    fx = xs - x0
-    fy = ys - y0
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
-    x0c = jnp.clip(x0, 0, W - 2)
-    y0c = jnp.clip(y0, 0, H - 2)
-    v00 = img[y0c, x0c]
-    v01 = img[y0c, x0c + 1]
-    v10 = img[y0c + 1, x0c]
-    v11 = img[y0c + 1, x0c + 1]
-    return (
-        v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
-        + v10 * fy * (1 - fx) + v11 * fy * fx
-    )
+def _extract_patches(img, oy, ox, Sy, Sx):
+    """(N,) int origins → (N, Sy, Sx) patches via vmapped dynamic_slice."""
+    return jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(img, (y, x), (Sy, Sx)))(oy, ox)
 
 
-def _window_offsets(dtype):
-    r = jnp.arange(-HALF, HALF + 1, dtype=dtype)
-    oy, ox = jnp.meshgrid(r, r, indexing="ij")
-    return oy.reshape(-1), ox.reshape(-1)
+def _hat_sample(patch, ry, rx):
+    """Bilinear resample inside patches via separable hat-weight matmuls.
+
+    patch: (N, Sy, Sx); ry/rx: (N, WIN) float positions in patch coords
+    (clamped to the patch like cv borderValue=replicate).
+    Returns (N, WIN, WIN) windows [row i = y, col j = x].
+    """
+    N, Sy, Sx = patch.shape
+    dtype = patch.dtype
+    ry = jnp.clip(ry, 0.0, Sy - 1.0)
+    rx = jnp.clip(rx, 0.0, Sx - 1.0)
+    sy = jnp.arange(Sy, dtype=dtype)
+    sx = jnp.arange(Sx, dtype=dtype)
+    Wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry[:, :, None] - sy))   # (N, 21, Sy)
+    Wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx[:, :, None] - sx))   # (N, 21, Sx)
+    V = jnp.einsum("nis,nst->nit", Wy, patch)                    # (N, 21, Sx)
+    return jnp.einsum("nit,njt->nij", V, Wx)                     # (N, 21, 21)
 
 
-def _track_level(img_prev, ix_prev, iy_prev, img_cur, pt_prev, guess, iters, eps,
-                 check_status=True):
-    """One pyramid level of LK for a single feature. Returns (new_guess, ok).
+def _track_level(img_prev, ix_prev, iy_prev, img_cur, pts_prev, guess,
+                 iters, eps, check_status=True):
+    """One pyramid level of LK for ALL features. Returns (new_guess, ok).
 
-    Status (gradient conditioning + border) is only enforced at level 0,
+    Status (gradient conditioning + borders) is only enforced at level 0,
     matching OpenCV's behavior of tolerating clipped windows at coarse levels.
     """
     H, W = img_prev.shape
     dtype = img_prev.dtype
-    oy, ox = _window_offsets(dtype)
+    N = pts_prev.shape[0]
+    Sy = min(PATCH, H)
+    Sx = min(PATCH, W)
+    off = jnp.arange(-HALF, HALF + 1, dtype=dtype)
 
-    ty = pt_prev[1] + oy
-    tx = pt_prev[0] + ox
-    T = _bilinear(img_prev, ty, tx)
-    Ix = _bilinear(ix_prev, ty, tx)
-    Iy = _bilinear(iy_prev, ty, tx)
+    # ---- template windows + gradients (prev image, fixed) -----------------
+    px, py = pts_prev[:, 0], pts_prev[:, 1]
+    oy_t = jnp.clip(jnp.floor(py).astype(jnp.int32) - Sy // 2, 0, H - Sy)
+    ox_t = jnp.clip(jnp.floor(px).astype(jnp.int32) - Sx // 2, 0, W - Sx)
+    ry_t = (py - oy_t.astype(dtype))[:, None] + off[None, :]
+    rx_t = (px - ox_t.astype(dtype))[:, None] + off[None, :]
+    Tp = _hat_sample(_extract_patches(img_prev, oy_t, ox_t, Sy, Sx), ry_t, rx_t)
+    Ix = _hat_sample(_extract_patches(ix_prev, oy_t, ox_t, Sy, Sx), ry_t, rx_t)
+    Iy = _hat_sample(_extract_patches(iy_prev, oy_t, ox_t, Sy, Sx), ry_t, rx_t)
 
-    g_xx = jnp.sum(Ix * Ix)
-    g_xy = jnp.sum(Ix * Iy)
-    g_yy = jnp.sum(Iy * Iy)
+    g_xx = jnp.sum(Ix * Ix, (1, 2))
+    g_xy = jnp.sum(Ix * Iy, (1, 2))
+    g_yy = jnp.sum(Iy * Iy, (1, 2))
     det = g_xx * g_yy - g_xy * g_xy
-    min_eig = 0.5 * (g_xx + g_yy - jnp.sqrt((g_xx - g_yy) ** 2 + 4.0 * g_xy ** 2))
+    min_eig = 0.5 * (g_xx + g_yy
+                     - jnp.sqrt((g_xx - g_yy) ** 2 + 4.0 * g_xy ** 2))
     ok_grad = (min_eig / (WIN * WIN)) > _MIN_EIG_THRESH
     inv_det = jnp.where(det > 1e-12, 1.0 / jnp.maximum(det, 1e-12), 0.0)
 
-    in_prev = (
-        (pt_prev[0] >= HALF) & (pt_prev[0] < W - HALF)
-        & (pt_prev[1] >= HALF) & (pt_prev[1] < H - HALF)
-    )
+    in_prev = ((px >= HALF) & (px < W - HALF)
+               & (py >= HALF) & (py < H - HALF))
 
-    def body(_, carry):
-        g, converged = carry
-        J = _bilinear(img_cur, g[1] + oy, g[0] + ox)
-        r = J - T
-        bx = jnp.sum(Ix * r)
-        by = jnp.sum(Iy * r)
+    # ---- current-image patches centered on the INITIAL guess --------------
+    gx0, gy0 = guess[:, 0], guess[:, 1]
+    oy_c = jnp.clip(jnp.floor(gy0).astype(jnp.int32) - Sy // 2, 0, H - Sy)
+    ox_c = jnp.clip(jnp.floor(gx0).astype(jnp.int32) - Sx // 2, 0, W - Sx)
+    Pc = _extract_patches(img_cur, oy_c, ox_c, Sy, Sx)
+    oyf = oy_c.astype(dtype)
+    oxf = ox_c.astype(dtype)
+
+    def cond(carry):
+        _, converged, it = carry
+        return (it < iters) & ~jnp.all(converged)
+
+    def body(carry):
+        g, converged, it = carry
+        ry = (g[:, 1] - oyf)[:, None] + off[None, :]
+        rx = (g[:, 0] - oxf)[:, None] + off[None, :]
+        J = _hat_sample(Pc, ry, rx)
+        r = J - Tp
+        bx = jnp.sum(Ix * r, (1, 2))
+        by = jnp.sum(Iy * r, (1, 2))
         dx = -(g_yy * bx - g_xy * by) * inv_det
         dy = -(g_xx * by - g_xy * bx) * inv_det
-        delta = jnp.stack([dx, dy])
+        delta = jnp.stack([dx, dy], -1)
         new_g = g + delta
-        done = jnp.sum(delta * delta) < eps * eps
-        g = jnp.where(converged, g, new_g)
-        return g, converged | done
+        done = jnp.sum(delta * delta, -1) < eps * eps
+        g = jnp.where(converged[:, None], g, new_g)
+        return g, converged | done, it + 1
 
-    guess, _ = jax.lax.fori_loop(0, iters, body, (guess, jnp.asarray(False)))
+    # while_loop: the whole batch usually converges in 5-10 iterations —
+    # early exit saves the remaining fixed-iteration work (TermCriteria)
+    guess, _, _ = jax.lax.while_loop(
+        cond, body, (guess, jnp.zeros(N, bool), jnp.asarray(0, jnp.int32)))
 
-    in_cur = (
-        (guess[0] >= 0.0) & (guess[0] < W - 1.0)
-        & (guess[1] >= 0.0) & (guess[1] < H - 1.0)
-    )
-    ok = (ok_grad & in_prev & in_cur) | jnp.asarray(not check_status)
+    in_cur = ((guess[:, 0] >= 0.0) & (guess[:, 0] < W - 1.0)
+              & (guess[:, 1] >= 0.0) & (guess[:, 1] < H - 1.0))
+    # the GN loop samples inside the patch only; a window that walked out of
+    # it read clamped borders, so its result is untrusted
+    in_patch = ((guess[:, 0] - oxf >= HALF - 1.0)
+                & (guess[:, 0] - oxf <= Sx - HALF)
+                & (guess[:, 1] - oyf >= HALF - 1.0)
+                & (guess[:, 1] - oyf <= Sy - HALF))
+    ok = (ok_grad & in_prev & in_cur & in_patch) | (not check_status)
     return guess, ok
 
 
@@ -136,12 +168,9 @@ def lk_track(pyr_prev, pyr_cur, pts_prev, valid, pts_init=None,
             s = 2.0 ** lvl
             p_lvl = pts_prev / s
             check = lvl == 0
-            track = jax.vmap(
-                lambda pp, g: _track_level(
-                    img_p, ix_p, iy_p, img_c, pp, g, iters, eps, check_status=check
-                )
-            )
-            new_guess, ok = track(p_lvl, guess)
+            new_guess, ok = _track_level(
+                img_p, ix_p, iy_p, img_c, p_lvl, guess, iters, eps,
+                check_status=check)
             status = status & ok
             guess = new_guess
         if lvl > 0:

@@ -8,25 +8,44 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-_GAUSS5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+# kernels as NUMPY constants: their taps become compile-time scalars in the
+# unrolled shifted-add convolution below
+_GAUSS5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
 # Scharr 3×3 (OpenCV cv::Scharr as used inside calcOpticalFlowPyrLK); the
 # LK implementation scales by 1/32 when building Ix/Iy
-_SCHARR_D = jnp.array([-1.0, 0.0, 1.0])
-_SCHARR_S = jnp.array([3.0, 10.0, 3.0])
+_SCHARR_D = np.array([-1.0, 0.0, 1.0])
+_SCHARR_S = np.array([3.0, 10.0, 3.0])
 
 
 def _sep_conv2d(img, ky, kx):
-    """Separable 2-D convolution with edge replication, (H, W) float."""
-    py = ky.shape[0] // 2
-    px = kx.shape[0] // 2
-    img = jnp.pad(img, ((py, py), (px, px)), mode="edge")
-    img = jax.vmap(lambda row: jnp.convolve(row, kx[::-1], mode="valid"))(img)
-    img = jax.vmap(lambda col: jnp.convolve(col, ky[::-1], mode="valid"),
-                   in_axes=1, out_axes=1)(img)
-    return img
+    """Separable 2-D convolution with edge replication, (H, W) float.
+
+    Unrolled shifted-adds (kernels are 3/5 taps): pure slice+fma chains that
+    XLA fuses into one vectorized pass — per-row `jnp.convolve` lowers to
+    per-lane loops on TPU and was ~70 ms per pyramid build."""
+    H, W = img.shape
+    ky = np.asarray(ky, np.float64)
+    kx = np.asarray(kx, np.float64)
+    py = len(ky) // 2
+    px = len(kx) // 2
+    pad = jnp.pad(img, ((py, py), (px, px)), mode="edge")
+    out = jnp.zeros((H, W + 2 * px), img.dtype)
+    for k in range(len(ky)):
+        if ky[k] == 0.0:
+            continue
+        out = out + float(ky[k]) * jax.lax.dynamic_slice(
+            pad, (k, 0), (H, W + 2 * px))
+    out2 = jnp.zeros((H, W), img.dtype)
+    for k in range(len(kx)):
+        if kx[k] == 0.0:
+            continue
+        out2 = out2 + float(kx[k]) * jax.lax.dynamic_slice(
+            out, (0, k), (H, W))
+    return out2
 
 
 def pyr_down(img):
