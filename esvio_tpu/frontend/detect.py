@@ -9,14 +9,17 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from esvio_tpu.frontend.pyramid import _sep_conv2d
 
-_SOBEL_D = jnp.array([-1.0, 0.0, 1.0]) / 2.0
-_SOBEL_S = jnp.array([1.0, 2.0, 1.0]) / 4.0
-_BOX3 = jnp.ones((3,)) / 3.0
+# numpy constants: _sep_conv2d consumes taps as compile-time scalars, so these
+# must NOT become tracers inside jit (a jnp constant would).
+_SOBEL_D = np.array([-1.0, 0.0, 1.0]) / 2.0
+_SOBEL_S = np.array([1.0, 2.0, 1.0]) / 4.0
+_BOX3 = np.ones((3,)) / 3.0
 
 
 @functools.partial(jax.jit, static_argnames=("max_corners", "quality_level"))

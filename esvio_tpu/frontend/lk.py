@@ -57,11 +57,14 @@ def _hat_sample(patch, ry, rx):
 
 
 def _track_level(img_prev, ix_prev, iy_prev, img_cur, pts_prev, guess,
-                 iters, eps, check_status=True):
+                 iters, eps, check_status=True, active=None):
     """One pyramid level of LK for ALL features. Returns (new_guess, ok).
 
     Status (gradient conditioning + borders) is only enforced at level 0,
     matching OpenCV's behavior of tolerating clipped windows at coarse levels.
+    `active` lanes start converged=False; padding lanes start converged so the
+    early-exit while_loop is paced by real features only (a padding lane at
+    (0, 0) oscillates forever and would otherwise force all `iters` rounds).
     """
     H, W = img_prev.shape
     dtype = img_prev.dtype
@@ -122,8 +125,9 @@ def _track_level(img_prev, ix_prev, iy_prev, img_cur, pts_prev, guess,
 
     # while_loop: the whole batch usually converges in 5-10 iterations —
     # early exit saves the remaining fixed-iteration work (TermCriteria)
+    conv0 = jnp.zeros(N, bool) if active is None else ~active
     guess, _, _ = jax.lax.while_loop(
-        cond, body, (guess, jnp.zeros(N, bool), jnp.asarray(0, jnp.int32)))
+        cond, body, (guess, conv0, jnp.asarray(0, jnp.int32)))
 
     in_cur = ((guess[:, 0] >= 0.0) & (guess[:, 0] < W - 1.0)
               & (guess[:, 1] >= 0.0) & (guess[:, 1] < H - 1.0))
@@ -170,7 +174,7 @@ def lk_track(pyr_prev, pyr_cur, pts_prev, valid, pts_init=None,
             check = lvl == 0
             new_guess, ok = _track_level(
                 img_p, ix_p, iy_p, img_c, p_lvl, guess, iters, eps,
-                check_status=check)
+                check_status=check, active=valid)
             status = status & ok
             guess = new_guess
         if lvl > 0:

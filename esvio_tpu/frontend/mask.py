@@ -84,8 +84,17 @@ def grid_spacing(priority, xs, ys, valid, height: int, width: int,
     dependency.
 
     Guarantees: keep ⊆ valid, |keep| ≤ max_keep, pairwise distance ≥
-    min_dist.  `occupied` pixels (if given) block selection within min_dist
-    via a virtual +∞-priority competitor per occupied cell.
+    min_dist among cell winners at fixed point.  No occupancy prior is
+    supported (pass occupied only to `greedy_spacing`).
+
+    Known, intentional deviations from the sequential greedy mask
+    (feature_tracker.cpp:123-151):
+      * two valid points in the same cell are always reduced to one winner
+        even when ≥ min_dist apart (diagonal, up to r·√2) — slightly sparser
+        selection than greedy in dense corners;
+      * if the Jacobi sweeps hit `suppress_iters` while still oscillating
+        (cyclic parallel-MIS conflicts — pathological in practice), the
+        pairwise guarantee can be violated for the cycling points.
     """
     N = priority.shape[0]
     r = max(min_dist, 1)

@@ -122,6 +122,26 @@ def init_state(cfg: TrackerConfig, key=None, dtype=jnp.float32) -> TrackerState:
     )
 
 
+def _compact_order(keep, is_new, F: int):
+    """Stable two-group compaction: kept existing lanes first (in lane
+    order), then kept new detections (in detection order) — identical result
+    to a stable sort on (kept, is_new, index), computed with one `top_k`
+    over group-ranked keys.  top_k is the fast selection primitive on TPU;
+    scatters with a shared overflow slot serialize, and a full argsort does
+    F + C log(F + C) work for F outputs.
+
+    Returns (order (F,) int32 gather indices, valid (F,) bool). Slots past
+    the kept count gather unkept lanes — callers mask with `valid`.
+    """
+    n_all = keep.shape[0]
+    i = jnp.arange(n_all, dtype=jnp.float32)   # exact for n_all ≪ 2^24
+    key = jnp.where(keep & ~is_new, 3.0 * n_all - i,
+                    jnp.where(keep, 2.0 * n_all - i, 1.0 * n_all - i))
+    _, order = jax.lax.top_k(key, F)
+    valid = jnp.arange(F) < jnp.minimum(jnp.sum(keep.astype(jnp.int32)), F)
+    return order.astype(jnp.int32), valid
+
+
 def _in_border(cfg: TrackerConfig, pts):
     x = jnp.round(pts[..., 0])
     y = jnp.round(pts[..., 1])
@@ -189,10 +209,16 @@ def track_event_stereo(cfg: TrackerConfig, cam_left: CameraModel,
         ex = jnp.clip(chunk_left.x, 0, cfg.width - 1)
         ey = jnp.clip(chunk_left.y, 0, cfg.height - 1)
         corner_ok = corner_ok & (ts_l[ey, ex] != TS_LK_THRESHOLD)
-    cand_order = jnp.argsort(~corner_ok, stable=True)[:C]
+    # stable compaction of corner events into C candidate slots: top_k over
+    # rank keys (corners first, each group in event order) — the TPU-fast
+    # selection; the r2 full argsort did E log E work for C outputs
+    n_ev = corner_ok.shape[0]
+    ev_i = jnp.arange(n_ev, dtype=jnp.float32)   # exact for E ≪ 2^24
+    c_key = jnp.where(corner_ok, 2.0 * n_ev - ev_i, 1.0 * n_ev - ev_i)
+    _, cand_order = jax.lax.top_k(c_key, C)
+    cand_valid = jnp.arange(C) < jnp.sum(corner_ok.astype(jnp.int32))
     cand_x = chunk_left.x[cand_order].astype(dtype)
     cand_y = chunk_left.y[cand_order].astype(dtype)
-    cand_valid = corner_ok[cand_order]
 
     # priorities: existing (1e6 + track_cnt) ≫ candidates (1e5 - event rank)
     pri = jnp.concatenate([
@@ -225,15 +251,11 @@ def track_event_stereo(cfg: TrackerConfig, cam_left: CameraModel,
     all_prev_unr = jnp.concatenate([state.prev_un_right, jnp.zeros((C, 2), dtype)])
     all_prev_rv = jnp.concatenate([state.prev_right_valid, jnp.zeros((C,), bool)])
 
-    sort_key = (~all_keep).astype(jnp.int32) * (2 * (F + C)) \
-        + is_new.astype(jnp.int32) * (F + C) \
-        + jnp.arange(F + C, dtype=jnp.int32)
-    order = jnp.argsort(sort_key)[:F]
+    order, valid_n = _compact_order(all_keep, is_new, F)
     pts_n = all_pts[order]
-    ids_n = all_ids[order]
-    cnt_n = all_cnt[order]
-    valid_n = all_keep[order]
-    isnew_n = is_new[order]
+    ids_n = jnp.where(valid_n, all_ids[order], -1)
+    cnt_n = jnp.where(valid_n, all_cnt[order], 0)
+    isnew_n = is_new[order] & valid_n
     prev_un_n = all_prev_un[order]
     prev_unr_n = all_prev_unr[order]
     prev_rv_n = all_prev_rv[order]
@@ -383,14 +405,11 @@ def track_image_stereo(cfg: TrackerConfig, cam_left: CameraModel,
     all_prev_unr = jnp.concatenate([state.prev_un_right, jnp.zeros((C, 2), dtype)])
     all_prev_rv = jnp.concatenate([state.prev_right_valid, jnp.zeros((C,), bool)])
 
-    sort_key = (~keep).astype(jnp.int32) * (2 * (F + C)) \
-        + is_new.astype(jnp.int32) * (F + C) + jnp.arange(F + C, dtype=jnp.int32)
-    order = jnp.argsort(sort_key)[:F]
+    order, valid_n = _compact_order(keep, is_new, F)
     pts_n = all_pts[order]
-    ids_n = all_ids[order]
-    cnt_n = all_cnt[order]
-    valid_n = keep[order]
-    isnew_n = is_new[order]
+    ids_n = jnp.where(valid_n, all_ids[order], -1)
+    cnt_n = jnp.where(valid_n, all_cnt[order], 0)
+    isnew_n = is_new[order] & valid_n
     prev_un_n = all_prev_un[order]
     prev_unr_n = all_prev_unr[order]
     prev_rv_n = all_prev_rv[order]
