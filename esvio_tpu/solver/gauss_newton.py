@@ -336,6 +336,216 @@ def assemble_normal(state: WindowState, book_img: FeatureBook,
     return H, b, cost
 
 
+def _proj_family_pieces(O, r, J, has_exr: bool):
+    """Normal-equation pieces of one (L, F)-grid projection family.
+
+    O: (L, F) one-hot of each lane's start frame; r: (L, F, 2) weighted
+    residuals; J: (L, F, 2, k) weighted Jacobians with the fixed column
+    layout [pose_i 6 | pose_j 6 | ex_l 6 | (ex_r 6) | λ | td].
+
+    Because every factor's columns are known by construction (pose_i =
+    one-hot(start), pose_j = its own grid coordinate, λ = its own lane), the
+    JᵀJ reduction decomposes into small dense einsums over the (L·F) factor
+    grid — no (N, a, C) slab, no scatter.  Returns a dict of dense blocks.
+    """
+    F = N_STATES
+    dtype = r.dtype
+    Jpi = J[..., 0:6]
+    Jpj = J[..., 6:12]
+    Jexl = J[..., 12:18]
+    if has_exr:
+        Jexr = J[..., 18:24]
+        Jlam = J[..., 24]
+        Jtd = J[..., 25]
+    else:
+        Jexr = None
+        Jlam = J[..., 18]
+        Jtd = J[..., 19]
+
+    eyeF = jnp.eye(F, dtype=dtype)
+    # ---- pose-pose (66×66) -------------------------------------------------
+    S_ii = jnp.einsum("lfra,lfrb->lab", Jpi, Jpi)
+    T_ii = jnp.einsum("lf,lab->fab", O, S_ii)
+    B_ij = jnp.einsum("lfra,lfrb->lfab", Jpi, Jpj)
+    U_ij = jnp.einsum("lg,lfab->gafb", O, B_ij)          # rows=start, cols=f
+    D_jj = jnp.einsum("lfra,lfrb->fab", Jpj, Jpj)
+    Hp = (jnp.einsum("fab,fg->fagb", T_ii + D_jj, eyeF)
+          + U_ij + jnp.transpose(U_ij, (2, 3, 0, 1)))
+
+    def pose_cross(Jother):
+        """(66, w) pose × (ex | λ | td) block; Jother (L, F, 2[, w])."""
+        gi = jnp.einsum("lfra,lfr...->la...", Jpi, Jother)
+        gi = jnp.einsum("lf,la...->fa...", O, gi)
+        gj = jnp.einsum("lfra,lfr...->fa...", Jpj, Jother)
+        g = gi + gj
+        return g.reshape((F * 6,) + g.shape[2:])
+
+    def lane_cross(Ja, Jb):
+        """(w, L): per-lane reduction of Ja (L,F,2,w) against Jb (L,F,2)."""
+        return jnp.einsum("lfra,lfr->al", Ja, Jb)
+
+    pieces = dict(
+        Hp=Hp.reshape(F * 6, F * 6),
+        Hpel=pose_cross(Jexl),                       # (66, 6)
+        Hplam=jnp.einsum("lf,la->fal", O,
+                         jnp.einsum("lfra,lfr->la", Jpi, Jlam)).reshape(F * 6, -1)
+        + jnp.einsum("lfra,lfr->fal", Jpj, Jlam).reshape(F * 6, -1),  # (66, L)
+        Hptd=pose_cross(Jtd),                        # (66,)
+        Hll=jnp.einsum("lfra,lfrb->ab", Jexl, Jexl),
+        Hellam=lane_cross(Jexl, Jlam),               # (6, L)
+        Heltd=jnp.einsum("lfra,lfr->a", Jexl, Jtd),
+        Hlamlam=jnp.einsum("lfr,lfr->l", Jlam, Jlam),
+        Hlamtd=jnp.einsum("lfr,lfr->l", Jlam, Jtd),
+        Htdtd=jnp.sum(Jtd * Jtd),
+        bp=pose_cross(r),                            # (66,)
+        bel=jnp.einsum("lfra,lfr->a", Jexl, r),
+        blam=jnp.einsum("lfr,lfr->l", Jlam, r),
+        btd=jnp.sum(Jtd * r),
+        cost=jnp.sum(r * r),
+    )
+    if has_exr:
+        pieces.update(
+            Hper=pose_cross(Jexr),
+            Hlr=jnp.einsum("lfra,lfrb->ab", Jexl, Jexr),
+            Hrr=jnp.einsum("lfra,lfrb->ab", Jexr, Jexr),
+            Herlam=lane_cross(Jexr, Jlam),
+            Hertd=jnp.einsum("lfra,lfr->a", Jexr, Jtd),
+            ber=jnp.einsum("lfra,lfr->a", Jexr, r),
+        )
+    return pieces
+
+
+def _static_family_pieces(r, J):
+    """Pieces of the static-stereo family: r (L, 2), J (L, 2, 14) with
+    columns [ex_l 6 | ex_r 6 | λ | td] — no pose involvement."""
+    Jexl = J[..., 0:6]
+    Jexr = J[..., 6:12]
+    Jlam = J[..., 12]
+    Jtd = J[..., 13]
+    return dict(
+        Hll=jnp.einsum("lra,lrb->ab", Jexl, Jexl),
+        Hlr=jnp.einsum("lra,lrb->ab", Jexl, Jexr),
+        Hrr=jnp.einsum("lra,lrb->ab", Jexr, Jexr),
+        Hellam=jnp.einsum("lra,lr->al", Jexl, Jlam),
+        Herlam=jnp.einsum("lra,lr->al", Jexr, Jlam),
+        Heltd=jnp.einsum("lra,lr->a", Jexl, Jtd),
+        Hertd=jnp.einsum("lra,lr->a", Jexr, Jtd),
+        Hlamlam=jnp.einsum("lr,lr->l", Jlam, Jlam),
+        Hlamtd=jnp.einsum("lr,lr->l", Jlam, Jtd),
+        Htdtd=jnp.sum(Jtd * Jtd),
+        bel=jnp.einsum("lra,lr->a", Jexl, r),
+        ber=jnp.einsum("lra,lr->a", Jexr, r),
+        blam=jnp.einsum("lr,lr->l", Jlam, r),
+        btd=jnp.sum(Jtd * r),
+        cost=jnp.sum(r * r),
+    )
+
+
+def assemble_normal_fast(state: WindowState, book_img: FeatureBook,
+                         book_evt: FeatureBook, preints: pre.Preintegrated,
+                         imu_valid, prior: Prior, g, cauchy_c: float = 1.0,
+                         prior_H=None):
+    """Structured normal equations: H, b, cost with no (N, a, C) slabs.
+
+    Exploits the static sparsity of every projection factor (columns are
+    pose_i/pose_j/extrinsic/own-λ/td by construction) to reduce JᵀJ into
+    small dense blocks written at statically-known offsets — the landmark
+    columns of each book are contiguous, so every write is a static slice.
+    ~50× fewer FLOPs than `assemble_normal`'s C-wide matmuls and no scatter
+    in the hot loop; the 10 IMU factors keep a tiny outer-product scatter.
+    Numerically equal to assemble_normal up to summation order
+    (tests/test_solver.py oracle check).
+    """
+    dtype = state.P.dtype
+    L_img = book_img.un.shape[0]
+    L_evt = book_evt.un.shape[0]
+    F = N_STATES
+    blocks, (r_prior, J_prior), L_tot = factor_blocks(
+        state, book_img, book_evt, preints, imu_valid, prior, g, cauchy_c,
+        with_jac=True)
+    C = DIM_ALL + L_tot
+    H = jnp.zeros((C, C), dtype)
+    b = jnp.zeros((C,), dtype)
+
+    # ---- IMU: 10 factors, banded 30×30 outer products ----------------------
+    r_imu, J_imu, cols_imu = blocks[0]
+    Hi = jnp.einsum("nak,nal->nkl", J_imu, J_imu)
+    bi = jnp.einsum("nak,na->nk", J_imu, r_imu)
+    H = H.at[cols_imu[:, :, None], cols_imu[:, None, :]].add(Hi)
+    b = b.at[cols_imu].add(bi)
+    cost = jnp.sum(r_imu * r_imu)
+
+    # ---- projection books --------------------------------------------------
+    for (mono, cross, static), book, exl, exr, lm_base, L in (
+        (blocks[1:4], book_img, 0, 2, 0, L_img),
+        (blocks[4:7], book_evt, 1, 3, L_img, L_evt),
+    ):
+        start = start_frame(book)
+        O = jax.nn.one_hot(start, F, dtype=dtype)
+        fam_m = _proj_family_pieces(
+            O, mono[0].reshape(L, F, 2), mono[1].reshape(L, F, 2, 20), False)
+        fam_c = _proj_family_pieces(
+            O, cross[0].reshape(L, F, 2), cross[1].reshape(L, F, 2, 26), True)
+        fam_s = _static_family_pieces(static[0], static[1])
+
+        el = OFF_EX + exl * 6
+        er = OFF_EX + exr * 6
+        l0 = DIM_ALL + lm_base
+        lam_idx = l0 + jnp.arange(L)
+
+        def add_sym(H, rs, cs, blk):
+            H = jax.lax.dynamic_update_slice(
+                H, jax.lax.dynamic_slice(H, (rs, cs), blk.shape) + blk,
+                (rs, cs))
+            if rs != cs:
+                H = jax.lax.dynamic_update_slice(
+                    H, jax.lax.dynamic_slice(H, (cs, rs), blk.T.shape) + blk.T,
+                    (cs, rs))
+            return H
+
+        Hp = fam_m["Hp"] + fam_c["Hp"]
+        H = add_sym(H, 0, 0, Hp)
+        H = add_sym(H, 0, el, fam_m["Hpel"] + fam_c["Hpel"])
+        H = add_sym(H, 0, er, fam_c["Hper"])
+        H = add_sym(H, 0, l0, fam_m["Hplam"] + fam_c["Hplam"])
+        H = add_sym(H, 0, OFF_TD,
+                    (fam_m["Hptd"] + fam_c["Hptd"])[:, None])
+        H = add_sym(H, el, el, fam_m["Hll"] + fam_c["Hll"] + fam_s["Hll"])
+        H = add_sym(H, el, er, fam_c["Hlr"] + fam_s["Hlr"])
+        H = add_sym(H, er, er, fam_c["Hrr"] + fam_s["Hrr"])
+        H = add_sym(H, el, l0,
+                    fam_m["Hellam"] + fam_c["Hellam"] + fam_s["Hellam"])
+        H = add_sym(H, er, l0, fam_c["Herlam"] + fam_s["Herlam"])
+        H = add_sym(H, el, OFF_TD,
+                    (fam_m["Heltd"] + fam_c["Heltd"] + fam_s["Heltd"])[:, None])
+        H = add_sym(H, er, OFF_TD, (fam_c["Hertd"] + fam_s["Hertd"])[:, None])
+        H = H.at[lam_idx, lam_idx].add(
+            fam_m["Hlamlam"] + fam_c["Hlamlam"] + fam_s["Hlamlam"])
+        hlt = fam_m["Hlamtd"] + fam_c["Hlamtd"] + fam_s["Hlamtd"]
+        H = H.at[lam_idx, OFF_TD].add(hlt)
+        H = H.at[OFF_TD, lam_idx].add(hlt)
+        H = H.at[OFF_TD, OFF_TD].add(
+            fam_m["Htdtd"] + fam_c["Htdtd"] + fam_s["Htdtd"])
+
+        b = b.at[:66].add(fam_m["bp"] + fam_c["bp"])
+        b = b.at[el:el + 6].add(fam_m["bel"] + fam_c["bel"] + fam_s["bel"])
+        b = b.at[er:er + 6].add(fam_c["ber"] + fam_s["ber"])
+        b = b.at[l0:l0 + L].add(fam_m["blam"] + fam_c["blam"] + fam_s["blam"])
+        b = b.at[OFF_TD].add(fam_m["btd"] + fam_c["btd"] + fam_s["btd"])
+        cost = cost + fam_m["cost"] + fam_c["cost"] + fam_s["cost"]
+
+    # ---- marginalization prior --------------------------------------------
+    # J0ᵀJ0 is constant across LM iterations (the prior linearization point
+    # is fixed) — callers in a loop pass it precomputed via prior_H, saving a
+    # 190³ matmul per iteration
+    if prior_H is None:
+        prior_H = J_prior.T @ J_prior
+    H = H.at[:DIM_ALL, :DIM_ALL].add(prior_H)
+    b = b.at[:DIM_ALL].add(J_prior.T @ r_prior)
+    cost = cost + jnp.sum(r_prior * r_prior)
+    return H, b, cost
+
+
 def problem_cost(state: WindowState, book_img: FeatureBook,
                  book_evt: FeatureBook, preints: pre.Preintegrated,
                  imu_valid, prior: Prior, g, cauchy_c: float = 1.0):
@@ -411,15 +621,17 @@ def solve_window(state: WindowState, book_img: FeatureBook, book_evt: FeatureBoo
     method: reduced-system solve, "chol" (fast) or "eigh" (see reduced_solve)."""
     dtype = state.P.dtype
     L_img = book_img.un.shape[0]
+    J0w = prior.J0 * prior.valid.astype(dtype)
+    prior_H0 = J0w.T @ J0w            # constant across iterations
 
     def cost_of(st, bi, be):
         return problem_cost(st, bi, be, preints, imu_valid, prior, g, cauchy_c)
 
     def step(carry, _):
         st, bi, be, lam_damp = carry
-        H_raw, b_raw, cost2 = assemble_normal(
+        H_raw, b_raw, cost2 = assemble_normal_fast(
             st, bi, be, preints, imu_valid, prior, g, cauchy_c,
-            via_dense_rows=True)
+            prior_H=prior_H0)
 
         # Jacobi column scaling (Ceres-style): the raw system mixes bias-walk
         # weights (~1e5) with vision (~3e2) — cond(H) up to 1e40.  Scaling

@@ -140,3 +140,28 @@ def test_solver_with_observation_noise(rng):
     assert err_p.max() < 0.12, err_p.max()
     rel = np.linalg.norm(np.diff(P, axis=0) - np.diff(traj["P"], axis=0), axis=-1)
     assert rel.max() < 0.02, rel.max()
+
+
+def test_assemble_normal_fast_matches_oracle(rng):
+    """Structured block assembly == slab-based JᵀJ (same math, different
+    summation order) — with a prior, frozen-free, both books populated."""
+    traj, lm, state, b_img, b_evt, preints, gtd = build_problem(rng)
+    g = jnp.asarray(traj["g"])
+    iv = jnp.ones(10, bool)
+    # a non-trivial prior: random J0/r0 around the current state
+    r = np.random.default_rng(7)
+    J0 = jnp.asarray(r.normal(0, 1, (gn.DIM_ALL, gn.DIM_ALL)))
+    r0 = jnp.asarray(r.normal(0, 1, (gn.DIM_ALL,)))
+    prior = gn.Prior(J0=J0, r0=r0, lin=state, valid=jnp.asarray(True))
+
+    # use the image book slot too (swap books so both paths are nontrivial)
+    H1, b1, c1 = gn.assemble_normal(state, b_evt, b_img, preints, iv, prior, g)
+    H2, b2, c2 = gn.assemble_normal_fast(state, b_evt, b_img, preints, iv,
+                                         prior, g)
+    H1, b1, H2, b2 = map(np.asarray, (H1, b1, H2, b2))
+    scale = np.abs(H1).max()
+    assert np.abs(H2 - H1).max() < 1e-9 * scale, np.abs(H2 - H1).max() / scale
+    assert np.abs(b2 - b1).max() < 1e-9 * np.abs(b1).max()
+    assert abs(float(c2) - float(c1)) < 1e-9 * abs(float(c1))
+    # symmetry of the structured result
+    assert np.abs(H2 - H2.T).max() < 1e-12 * scale
