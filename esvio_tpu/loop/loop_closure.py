@@ -9,6 +9,7 @@ correcting incoming VIO odometry (pose_graph_node.cpp:241-318).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import numpy as np
@@ -32,9 +33,18 @@ class LoopConfig:
     pnp_threshold: float = 10.0 / 460.0
     pnp_hypotheses: int = 100
     graph_iters: int = 5
-    graph_capacity: int = 2048
-    loop_capacity: int = 256
+    graph_capacity: int = 2048     # starting DB size — grows unbounded
+    loop_capacity: int = 256       # starting loop-edge padding — grows
     skip_recent: int = 50
+    # 4-DoF solve cadence: the reference optimizes on a 2 s thread
+    # (pose_graph.cpp:423-433), not per accepted loop.  Here: run the solve
+    # at most every `optimize_cadence` registered keyframes once a loop is
+    # pending (the first loop optimizes immediately); `flush()` forces it.
+    optimize_cadence: int = 5
+    # above this many graph nodes switch the dense (4K)² Cholesky for the
+    # matrix-free CG solve (pose_graph.optimize_4dof_cg)
+    dense_solve_max: int = 512
+    cg_iters: int = 100
     # node-level keyframe throttles (pose_graph_node.cpp:345-375):
     # skip the first N keyframes, keep 1-in-(skip_cnt+1), require ≥ skip_dis
     # metres of travel between registered keyframes
@@ -64,6 +74,8 @@ class LoopCloser:
         self._n_seen = 0              # keyframe throttle counters
         self._n_since_kept = 0
         self._last_kept_P = None
+        self._opt_pending = False     # loops accepted since the last solve
+        self._kfs_since_opt = 0
 
     # ------------------------------------------------------------------ add
     def add_keyframe(self, stamp, t_w, q_w, win_pts_w, win_uv, win_valid,
@@ -120,8 +132,13 @@ class LoopCloser:
             np.asarray(ids, np.int32) if ids is not None
             else np.full(len(win_pts_w), -1, np.int32))
 
+        self._kfs_since_opt += 1
         cand = self.db.query(idx)
         if cand is None:
+            # a pending solve still runs on cadence even without a new loop
+            if self._opt_pending and \
+                    self._kfs_since_opt >= self.cfg.optimize_cadence:
+                self._optimize()
             return None
         info = self._find_connection(idx, cand)
         if info is None:
@@ -134,10 +151,19 @@ class LoopCloser:
         self.db.has_loop[idx] = True
         self.db.loop_target[idx] = cand
         self.loops.append(info)
-        if self.first_loop_idx is None or info["i_old"] < self.first_loop_idx:
+        first_ever = self.first_loop_idx is None
+        if first_ever or info["i_old"] < self.first_loop_idx:
             self.first_loop_idx = info["i_old"]
-        self._optimize()
+        # cadence scheduling (reference: 2 s optimize4DoF thread)
+        self._opt_pending = True
+        if first_ever or self._kfs_since_opt >= self.cfg.optimize_cadence:
+            self._optimize()
         return info
+
+    def flush(self):
+        """Run any pending 4-DoF solve (end-of-sequence / shutdown)."""
+        if self._opt_pending:
+            self._optimize()
 
     # ---------------------------------------------------------- verification
     def _find_connection(self, j_new: int, i_old: int) -> Optional[dict]:
@@ -280,13 +306,15 @@ class LoopCloser:
         t[:n] = db.t_vio[:n]
         valid = np.arange(K) < n
 
-        E = self.cfg.loop_capacity
+        # loop-edge padding grows with the trajectory (power-of-two shapes)
+        E = max(self.cfg.loop_capacity,
+                1 << max(len(self.loops) - 1, 0).bit_length())
         li = np.zeros(E, np.int32)
         lj = np.zeros(E, np.int32)
         lt = np.zeros((E, 3))
         ly = np.zeros(E)
         lv = np.zeros(E, bool)
-        for k, info in enumerate(self.loops[:E]):
+        for k, info in enumerate(self.loops):
             li[k] = info["i_old"]
             lj[k] = info["j_new"]
             lt[k] = info["rel_t"]
@@ -294,7 +322,12 @@ class LoopCloser:
             lv[k] = True
 
         first = self.first_loop_idx or 0
-        yaw_o, t_o = pose_graph.optimize_4dof(
+        # dense Cholesky for small graphs; matrix-free PCG (O(K + E) memory)
+        # once the trajectory outgrows it — the unbounded path
+        solve = pose_graph.optimize_4dof if K <= self.cfg.dense_solve_max \
+            else functools.partial(pose_graph.optimize_4dof_cg,
+                                   cg_iters=self.cfg.cg_iters)
+        yaw_o, t_o = solve(
             jnp.asarray(yaw), jnp.asarray(t), jnp.asarray(pitch),
             jnp.asarray(roll), jnp.asarray(valid), jnp.asarray(first),
             jnp.asarray(li), jnp.asarray(lj), jnp.asarray(lt), jnp.asarray(ly),
