@@ -61,6 +61,24 @@ class PipelineResult:
                               self.stamps, self.P_loop, self.Q_loop)
 
 
+def _sync_pairs(it_l, it_r, tol):
+    """Pair L/R chunk streams by stamp, dropping unmatched ticks — the
+    sync_process semantics (stereo_event_tracker_node.cpp:372-419, 0.2 s
+    tolerance there; here half a tick).  With empty ticks skipped by the
+    chunk iterators, a one-sided dropout no longer misaligns the zip."""
+    l = next(it_l, None)
+    r = next(it_r, None)
+    while l is not None and r is not None:
+        if abs(l[0] - r[0]) <= tol:
+            yield l, r
+            l = next(it_l, None)
+            r = next(it_r, None)
+        elif l[0] < r[0]:
+            l = next(it_l, None)
+        else:
+            r = next(it_r, None)
+
+
 class Pipeline:
     """Host orchestrator; all numeric kernels are jitted device code."""
 
@@ -162,7 +180,7 @@ class Pipeline:
 
     def run(self, seq: ds.SequenceData, freq: Optional[float] = None,
             max_frames: Optional[int] = None,
-            overlap: bool = True) -> PipelineResult:
+            overlap: bool = True, chunk_pairs=None) -> PipelineResult:
         """Drive the full pipeline.
 
         `overlap=True` runs the front end one tick AHEAD of the estimator
@@ -193,11 +211,15 @@ class Pipeline:
         prev_t = None
         n = 0
         pending = None   # deferred estimator stage input (overlap mode)
-        for (t_l, ch_l), (t_r, ch_r) in zip(chunks_l, chunks_r):
+        pairs = chunk_pairs if chunk_pairs is not None else _sync_pairs(
+            iter(chunks_l), iter(chunks_r), tol=0.5 / freq)
+        for (t_l, ch_l), (t_r, ch_r) in pairs:
             t = t_l
-            # stream watchdog (gap > 1 s → full restart)
+            # stream watchdog (gap > 1 s OR backwards time → full restart,
+            # stereo_event_tracker_node.cpp:163-173)
             if self._last_event_time is not None and \
-                    t - self._last_event_time > 1.0:
+                    (t - self._last_event_time > 1.0
+                     or t < self._last_event_time - 1e-9):
                 if pending is not None:   # finish the pre-gap tick first
                     self._estimator_stage(pending, seq, freq, res, tim, met)
                     pending = None
@@ -251,6 +273,8 @@ class Pipeline:
                 break
         if pending is not None:
             self._estimator_stage(pending, seq, freq, res, tim, met)
+        if self.loop_closer is not None:
+            self.loop_closer.flush()   # run any cadence-pending 4-DoF solve
         res.metrics = met.summary()
         res.stage_times = tim.report()
         return res

@@ -158,6 +158,11 @@ def iterate_chunks(stream: EventStream, freq: float, capacity: int,
     idx = np.searchsorted(stream.t, edges)
     for k in range(1, len(edges)):
         lo, hi = idx[k - 1], idx[k]
+        if hi == lo:
+            # no events this tick ⇒ no packet arrives (callback model of
+            # stereo_event_tracker_node.cpp:128-142) — a sensor dropout is a
+            # missing tick, which is what the stream watchdog detects
+            continue
         if hi - lo > capacity:  # keep the newest `capacity` events
             lo = hi - capacity
         yield float(edges[k]), chunk_from_arrays(
@@ -186,6 +191,8 @@ def iterate_chunks_fast(stream: EventStream, freq: float, capacity: int,
     stamps, ts, xs, ys, ps, vs = native.packetize(
         stream.t, stream.x, stream.y, stream.p, t0, freq, capacity, n_frames)
     for k in range(len(stamps)):
+        if not vs[k].any():
+            continue   # empty tick = no packet (see iterate_chunks)
         yield float(stamps[k]), EventChunk(
             t=jnp.asarray(ts[k]), x=jnp.asarray(xs[k]), y=jnp.asarray(ys[k]),
             p=jnp.asarray(ps[k]), valid=jnp.asarray(vs[k]))

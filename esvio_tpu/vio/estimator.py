@@ -55,6 +55,12 @@ class EstimatorConfig:
     cauchy_c: float = 1.0
     min_track_for_kf: int = 20     # last_track_num < 20 ⇒ keyframe (:416)
     estimate_extrinsic: int = 0    # 0 fixed, 1 refine, 2 calibrate-from-scratch
+    # hand-eye acceptance policy for estimate_extrinsic == 2 (ADVICE r2):
+    # False (default, reference semantics) accepts the first solve passing a
+    # gate; True holds out for 3 consecutive solves agreeing < 1° before
+    # writing/latching — stricter, but under borderline excitation the
+    # re-solves can plateau on a biased estimate, so it is opt-in
+    ex_calib_require_stable: bool = False
     estimate_td: int = 0           # 1 = solve camera-IMU time offset
     # Sampson-style stereo depth refinement (g_use_stereo_correction,
     # parameters.cpp:48 — reference default TRUE)
@@ -134,6 +140,8 @@ class Estimator:
         # estimator.cpp:226-242): accumulated (q_cam, q_imu) interval pairs
         self._calib_pairs = []
         self._ex_calib_done = cfg.estimate_extrinsic != 2
+        self._ex_calib_stable = 0
+        self._ex_calib_last_q = None
 
     def _update_stereo_extrinsics(self):
         """Recompute cached left→right transforms from the window extrinsics."""
@@ -299,12 +307,24 @@ class Estimator:
 
     # ------------------------------------------------------------- features
     def _insert(self, book, packet, frame_idx):
+        """td convention (intentional deviation from the reference): frames
+        stay anchored at their CLAIMED stamps — we do not shift measurement
+        bundling by the running td the way getMeasurements does
+        (stereo_estimator_node.cpp:129, `stamp + estimator.td`).  Under that
+        anchoring the full camera-IMU offset must be compensated on every
+        observation, so td_obs ≡ 0 and the factor term (td − td_obs)·vel
+        shifts each point by the whole td.  Equivalent to the reference's
+        (shifted-bundle, cur_td-relative) scheme at first order in td·vel;
+        storing the reference's cur_td here WITHOUT shifting the bundling
+        makes td estimation divergent (each insertion re-baselines the
+        offset) — caught by test_td_estimation_recovers_offset."""
         dt = self.cfg.dtype
         return fm.insert_packet(
             book, jnp.asarray(packet.ids, jnp.int32), jnp.asarray(packet.valid),
             jnp.asarray(packet.un, dt), jnp.asarray(packet.vel, dt),
             jnp.asarray(packet.right_valid), jnp.asarray(packet.un_right, dt),
-            jnp.asarray(packet.vel_right, dt), self.ws.td, frame_idx)
+            jnp.asarray(packet.vel_right, dt), jnp.zeros_like(self.ws.td),
+            frame_idx)
 
     def process_packets(self, t: float, pkt_evt, pkt_img=None) -> Output:
         """Main measurement step (Stereo_processVisual, estimator.cpp:204-308)."""
@@ -367,6 +387,10 @@ class Estimator:
             self.prior, self.g, iters=cfg.solver_iters, cauchy_c=cfg.cauchy_c,
             frozen=self._frozen_mask())
         self.ws = win.gauge_fix(self.ws, ref_p0, ref_q0)
+        if cfg.estimate_extrinsic:
+            # the solver refines ex_q/ex_p — refresh the cached left→right
+            # stereo transforms used by instant triangulation (ADVICE r2)
+            self._update_stereo_extrinsics()
         self.book_img = fm.remove_failures(self.book_img)
         self.book_evt = fm.remove_failures(self.book_evt)
         self._failure_detection(n_tracked)
@@ -426,14 +450,40 @@ class Estimator:
             return
         q_c = jnp.asarray(np.stack([p[0] for p in self._calib_pairs]), dt)
         q_i = jnp.asarray(np.stack([p[1] for p in self._calib_pairs]), dt)
-        q, ok, _ = ex_rotation.calibrate_ex_rotation(
-            q_c, q_i, self.ws.ex_q[ex_idx])
+        # Huber weights use the freshest estimate: the internal candidate
+        # while the stability window is open (ws.ex_q is only written on
+        # acceptance), else the window extrinsic
+        ric0 = jnp.asarray(self._ex_calib_last_q, dt) \
+            if self._ex_calib_last_q is not None else self.ws.ex_q[ex_idx]
+        q, ok, S = ex_rotation.calibrate_ex_rotation(q_c, q_i, ric0)
         if bool(ok):
-            self.ws = dataclasses.replace(
-                self.ws, ex_q=self.ws.ex_q.at[ex_idx].set(
-                    jnp.asarray(q, dt)))
-            self._update_stereo_extrinsics()
-            self._ex_calib_done = True   # → ESTIMATE_EXTRINSIC = 1 analog
+            # Acceptance (→ ESTIMATE_EXTRINSIC = 1 analog).  The reference's
+            # absolute gate (ric_cov > 0.25) accepts immediately; the relaxed
+            # scale-invariant gate can fire under weaker excitation, so it
+            # must produce a STABLE estimate (< 1° change across 3
+            # consecutive solves) before anything is written — writing every
+            # round would jitter the extrinsic (and the stereo depths built
+            # from it) by degrees while the pair buffer is still short,
+            # starving initialization (ADVICE r2 + observed in
+            # test_online_ex_rotation_calibration).
+            accept = float(S[2]) > 0.25 \
+                or not self.cfg.ex_calib_require_stable
+            if not accept:
+                qn = np.asarray(q, float)
+                if self._ex_calib_last_q is not None:
+                    d = abs(float(np.clip(np.abs(qn @ self._ex_calib_last_q),
+                                          0.0, 1.0)))
+                    ang_deg = 2.0 * np.degrees(np.arccos(d))
+                    self._ex_calib_stable = self._ex_calib_stable + 1 \
+                        if ang_deg < 1.0 else 0
+                self._ex_calib_last_q = qn
+                accept = self._ex_calib_stable >= 3
+            if accept:
+                self.ws = dataclasses.replace(
+                    self.ws, ex_q=self.ws.ex_q.at[ex_idx].set(
+                        jnp.asarray(q, dt)))
+                self._update_stereo_extrinsics()
+                self._ex_calib_done = True
 
     # ------------------------------------------------------- initialization
     def _try_initialize(self) -> bool:
@@ -463,26 +513,17 @@ class Estimator:
         obs = np.asarray(book.obs)
         stereo = np.asarray(book.stereo)
         active = np.asarray(book.active)
-        Rrl = np.asarray(self._rrl[name])
-        Trl = np.asarray(self._trl[name])
 
-        def stereo_depth(l, f):
-            p0 = un[l, f]
-            p1 = un_r[l, f]
-            if p0[0] < p1[0]:
-                return -1.0
-            A = np.zeros((4, 4))
-            P0 = np.hstack([np.eye(3), np.zeros((3, 1))])
-            P1 = np.hstack([Rrl, Trl[:, None]])
-            A[0] = p0[0] * P0[2] - P0[0]
-            A[1] = p0[1] * P0[2] - P0[1]
-            A[2] = p1[0] * P1[2] - P1[0]
-            A[3] = p1[1] * P1[2] - P1[1]
-            v = np.linalg.svd(A)[2][-1]
-            z = v[2] / v[3]
-            if not (1.0 < z < 7.0):
-                return -1.0
-            return z
+        # vectorized per-(lane, frame) instant stereo depths + latest-anchor
+        # table — one jitted kernel instead of O(L·F) host SVDs
+        Z = np.asarray(fm.stereo_depth_table(
+            book.un, book.un_r, book.stereo, self._rrl[name],
+            self._trl[name]))
+        # anchor = NEWEST stereo-observed earlier frame (the lane is dropped
+        # if that frame's depth fails the gates — same rule as the scalar
+        # loop this replaces)
+        anc = np.where(obs & stereo, np.arange(win.N_STATES)[None, :], -1)
+        anchor_upto = np.maximum.accumulate(anc, axis=1)  # latest anchor ≤ e
 
         # chain camera poses with PnP: world points from stereo depth at ANY
         # earlier frame with known pose (robust to brief tracking blackouts)
@@ -497,9 +538,7 @@ class Estimator:
             corr = active & obs[:, f - 1] & obs[:, f]
             if corr.sum() < 12:
                 return None
-            depth1 = np.full(len(corr), -1.0)
-            for l in np.nonzero(corr & stereo[:, f - 1])[0]:
-                depth1[l] = stereo_depth(l, f - 1)
+            depth1 = np.where(corr, Z[:, f - 1], -1.0)
             key = jax.random.PRNGKey((f * 9973 + 17) & 0x7FFFFFFF)
             ok, R12, t12, n_good = relative_pose.solve_relative_hybrid(
                 key, jnp.asarray(un[:, f - 1], dt), jnp.asarray(un[:, f], dt),
@@ -512,23 +551,20 @@ class Estimator:
             return R_wc[f - 1] @ R12, R_wc[f - 1] @ t12 + t_wc[f - 1]
 
         for f in range(1, win.N_STATES):
-            pts_w, obs2 = [], []
-            for l in np.nonzero(active)[0]:
-                if not obs[l, f]:
-                    continue
-                anchor = -1
-                for e in range(f - 1, -1, -1):
-                    if obs[l, e] and stereo[l, e]:
-                        anchor = e
-                        break
-                if anchor < 0:
-                    continue
-                z = stereo_depth(l, anchor)
-                if z <= 0:
-                    continue
-                pc = np.array([un[l, anchor, 0] * z, un[l, anchor, 1] * z, z])
-                pts_w.append(R_wc[anchor] @ pc + t_wc[anchor])
-                obs2.append(un[l, f])
+            a = anchor_upto[:, f - 1]
+            sel = active & obs[:, f] & (a >= 0) \
+                & (Z[np.arange(len(a)), np.maximum(a, 0)] > 0)
+            idxs = np.nonzero(sel)[0]
+            if len(idxs):
+                zs = Z[idxs, a[idxs]]
+                pc = np.stack([un[idxs, a[idxs], 0] * zs,
+                               un[idxs, a[idxs], 1] * zs, zs], -1)
+                Rw = np.stack([R_wc[e] for e in a[idxs]])
+                tw = np.stack([t_wc[e] for e in a[idxs]])
+                pts_w = list(np.einsum("nij,nj->ni", Rw, pc) + tw)
+                obs2 = list(un[idxs, f])
+            else:
+                pts_w, obs2 = [], []
             if len(pts_w) < 6:
                 alt = hybrid_step(f)
                 if alt is None:

@@ -542,3 +542,190 @@ def test_insert_packet_drop_counter(rng):
     assert int(n_trk) == 0
     assert int(n_drop) == P - L
     assert int(jnp.sum(book.active)) == L
+
+
+def _packet_with_td(traj, f, lms, seen_ids, noise, rng, td_true, cap=128):
+    """Stereo packet whose observations are sampled `td_true` seconds LATE
+    relative to the claimed stamp (camera clock lags IMU clock), with
+    consistent normalized-plane velocities — the observability model of
+    ESTIMATE_TD (projectionTwoFrameOneCamFactor.cpp:68-70)."""
+    n_frames = len(traj["P"])
+    dtf = traj["t"][1] - traj["t"][0]
+
+    def un_at(k):
+        Rb = np.asarray(lie.quat_to_rot(jnp.asarray(traj["Q"][k], jnp.float64)))
+        pc = (lms - traj["P"][k]) @ Rb
+        z = pc[:, 2]
+        vis = (z > 1.2) & (z < 6.5)
+        un = pc[:, :2] / np.where(vis, z, 1.0)[:, None]
+        vis &= (np.abs(un[:, 0]) < 0.6) & (np.abs(un[:, 1]) < 0.6)
+        pcr = pc - np.array([BASELINE, 0, 0.0])
+        zr = pcr[:, 2]
+        unr = pcr[:, :2] / np.where(vis, zr, 1.0)[:, None]
+        return un, unr, vis
+
+    un0, unr0, vis0 = un_at(f)
+    fn = min(f + 1, n_frames - 1)
+    fp = fn - 1
+    un1, unr1, vis1 = un_at(fn)
+    unp, unrp, _ = un_at(fp)
+    vel = (un1 - unp) / dtf
+    vel_r = (unr1 - unrp) / dtf
+    vis = vis0 & vis1
+
+    idx = np.nonzero(vis)[0]
+    tracked = [i for i in idx if i in seen_ids]
+    fresh = [i for i in idx if i not in seen_ids]
+    chosen = (tracked + fresh)[:cap]
+
+    ids = np.full(cap, -1, np.int32)
+    valid = np.zeros(cap, bool)
+    un_o = np.zeros((cap, 2))
+    unr_o = np.zeros((cap, 2))
+    vel_o = np.zeros((cap, 2))
+    velr_o = np.zeros((cap, 2))
+    rv = np.zeros(cap, bool)
+    for s, i in enumerate(chosen):
+        ids[s] = i
+        valid[s] = True
+        un_o[s] = un0[i] + td_true * vel[i] + rng.normal(0, noise, 2)
+        unr_o[s] = unr0[i] + td_true * vel_r[i] + rng.normal(0, noise, 2)
+        vel_o[s] = vel[i]
+        velr_o[s] = vel_r[i]
+        rv[s] = True
+    return types.SimpleNamespace(
+        ids=ids, valid=valid, un=un_o, vel=vel_o,
+        right_valid=rv, un_right=unr_o, vel_right=velr_o,
+    ), set(chosen)
+
+
+@pytest.mark.slow
+def test_td_estimation_recovers_offset():
+    """ESTIMATE_TD (VERDICT r2 #9): a 5 ms camera-IMU offset injected into
+    the observations must be recovered to < 1 ms with estimate_td=1, and the
+    trajectory must beat the estimate_td=0 run on the same data."""
+    td_true = 0.005
+    n_frames = 30
+
+    def run(estimate_td):
+        rng = np.random.default_rng(11)
+        traj = simulate_trajectory(rng, n_frames=n_frames, imu_per_frame=10,
+                                   frame_dt=0.05)
+        lms = make_world(rng, traj)
+        ex_p = np.array([[0, 0, 0], [0, 0, 0],
+                         [BASELINE, 0, 0], [BASELINE, 0, 0]], float)
+        ex_q = np.tile(np.array([1.0, 0, 0, 0]), (4, 1))
+        cfg = est_mod.EstimatorConfig(mode="esio", evt_capacity=128,
+                                      img_capacity=8, min_track_for_kf=15,
+                                      estimate_td=estimate_td)
+        est = est_mod.Estimator(cfg, ex_p, ex_q)
+        seen = set()
+        outs = []
+        k_imu = traj["imu_per_frame"]
+        for f in range(n_frames):
+            if f > 0:
+                for s in range(k_imu):
+                    i = (f - 1) * k_imu + s + 1
+                    est.process_imu(traj["dt"], traj["imu_acc"][i],
+                                    traj["imu_gyr"][i])
+            pkt, seen = _packet_with_td(traj, f, lms, seen, 0.1 / 460.0, rng,
+                                        td_true)
+            outs.append(est.process_packets(traj["t"][f], pkt))
+        err = [np.linalg.norm(outs[f].P - traj["P"][f])
+               for f in range(n_frames) if outs[f].solver_flag == "NON_LINEAR"]
+        return est, np.asarray(err)
+
+    est_td, err_td = run(1)
+    est_no, err_no = run(0)
+    td_hat = float(np.asarray(est_td.ws.td))
+    assert abs(td_hat - td_true) < 1e-3, td_hat
+    assert float(np.asarray(est_no.ws.td)) == 0.0
+    assert err_td.mean() < err_no.mean(), (err_td.mean(), err_no.mean())
+
+
+@pytest.mark.slow
+def test_relocalization_drift_feedback_matches_inwindow_formulation():
+    """VERDICT r2 #10: on a DRIFTED map the post-hoc PnP relocalization must
+    return the same drift feedback the reference's in-window relo residuals
+    are built to produce (estimator.cpp:1988-2022, 2773-2792).
+
+    Construction: the current VIO world ≈ ground truth; the loop keyframe's
+    stored pose arrives in a MAP frame offset by a known drift D = (ψ, d)
+    (yaw + translation), while its observations are the true geometry.  The
+    in-window formulation solves the old pose inside the current world and
+    reports (a) the old→matched-frame relative pose — analytically the TRUE
+    relative pose, independent of D — and (b) via the pose graph, the drift D
+    itself.  Both must be recovered within tight bounds."""
+    rng = np.random.default_rng(21)
+    n_frames = 26
+    traj = simulate_trajectory(rng, n_frames=n_frames, imu_per_frame=10,
+                               frame_dt=0.05)
+    lms = make_world(rng, traj)
+    ex_p = np.array([[0, 0, 0], [0, 0, 0],
+                     [BASELINE, 0, 0], [BASELINE, 0, 0]], float)
+    ex_q = np.tile(np.array([1.0, 0, 0, 0]), (4, 1))
+    cfg = est_mod.EstimatorConfig(mode="esio", evt_capacity=128,
+                                  img_capacity=8, min_track_for_kf=15)
+    est = est_mod.Estimator(cfg, ex_p, ex_q)
+
+    psi = np.deg2rad(8.0)                      # injected drift D
+    d_t = np.array([0.5, -0.3, 0.1])
+    R_drift = np.array([[np.cos(psi), -np.sin(psi), 0],
+                        [np.sin(psi), np.cos(psi), 0],
+                        [0, 0, 1.0]])
+
+    seen = set()
+    keyframes = []
+    relo_out = None
+    old_f = 14
+    k_imu = traj["imu_per_frame"]
+    for f in range(n_frames):
+        if f > 0:
+            for s in range(k_imu):
+                i = (f - 1) * k_imu + s + 1
+                est.process_imu(traj["dt"], traj["imu_acc"][i],
+                                traj["imu_gyr"][i])
+        pkt, seen = packet_for_frame(traj, f, lms, seen, 0.3 / 460.0, rng)
+        if f == 20 and keyframes:
+            kf = keyframes[-1]
+            Rb = np.asarray(lie.quat_to_rot(jnp.asarray(traj["Q"][old_f])))
+            pc = (lms[kf["ids"]] - traj["P"][old_f]) @ Rb
+            un_old = pc[:, :2] / pc[:, 2:3]    # true geometry
+            # stored pose arrives in the drifted MAP frame: D⁻¹ ∘ true
+            P_map = R_drift.T @ (traj["P"][old_f] - d_t)
+            R_map = R_drift.T @ Rb
+            Q_map = np.asarray(lie.rot_to_quat(jnp.asarray(R_map)))
+            est.set_relo_frame(
+                est.timestamps[min(est.frame_count, 10) - 1],
+                kf["ids"], un_old, P_map, Q_map)
+        out = est.process_packets(traj["t"][f], pkt)
+        if out.keyframe is not None:
+            keyframes.append(out.keyframe)
+        if out.relo is not None:
+            relo_out = out.relo
+    assert relo_out is not None, "relocalization never resolved"
+
+    # (a) relative pose feedback == true old→i relative, unaffected by D
+    i_frame = int(np.argmin(np.abs(traj["t"] - relo_out["frame_stamp"])))
+    R_old = np.asarray(lie.quat_to_rot(jnp.asarray(traj["Q"][old_f])))
+    R_i = np.asarray(lie.quat_to_rot(jnp.asarray(traj["Q"][i_frame])))
+    yaw_gt = float(np.asarray(lie.rot_to_ypr(jnp.asarray(R_i)))[0]
+                   - np.asarray(lie.rot_to_ypr(jnp.asarray(R_old)))[0])
+    t_gt = R_old.T @ (traj["P"][i_frame] - traj["P"][old_f])
+    assert abs(relo_out["relative_yaw"] - yaw_gt) < 2.0, \
+        (relo_out["relative_yaw"], yaw_gt)
+    assert np.linalg.norm(relo_out["relative_t"] - t_gt) < 0.15, \
+        (relo_out["relative_t"], t_gt)
+
+    # (b) drift recovered from (solved current-world pose) vs (map pose) —
+    # what the pose graph computes from this packet
+    R_old_cur = np.asarray(lie.quat_to_rot(jnp.asarray(relo_out["Q_old"])))
+    R_map = R_drift.T @ R_old
+    yaw_cur = float(np.asarray(lie.rot_to_ypr(jnp.asarray(R_old_cur)))[0])
+    yaw_map = float(np.asarray(lie.rot_to_ypr(jnp.asarray(R_map)))[0])
+    yaw_drift = np.deg2rad((yaw_cur - yaw_map + 180.0) % 360.0 - 180.0)
+    assert abs(yaw_drift - psi) < np.deg2rad(2.0), (yaw_drift, psi)
+    P_map = R_drift.T @ (traj["P"][old_f] - d_t)
+    t_drift_hat = relo_out["P_old"] - np.asarray(
+        lie.ypr_to_rot(jnp.asarray([np.rad2deg(yaw_drift), 0.0, 0.0]))) @ P_map
+    assert np.linalg.norm(t_drift_hat - d_t) < 0.2, (t_drift_hat, d_t)
