@@ -22,9 +22,14 @@ before the computation finishes, so every timing ends on a host scalar
 fetch (a real device sync).
 """
 import json
+import sys
 import time
 
 import numpy as np
+
+# --smoke: tiny sizes / single reps — a CI sanity pass (tools/ci.sh), not a
+# measurement.  The default path is the real TPU benchmark.
+SMOKE = "--smoke" in sys.argv
 
 # nominal single-chip peaks used for roofline ratios (TPU v5e public specs:
 # 197 bf16 TFLOP/s, ~819 GB/s HBM BW; f32 matmul issues on the MXU at ~1/4
@@ -46,7 +51,7 @@ def bench_frontend_raw():
     from esvio_tpu.events import corners as cor_mod
 
     H, W = 260, 346
-    E = 1 << 17
+    E = 1 << 13 if SMOKE else 1 << 17
     rng = np.random.default_rng(0)
     t = np.sort(rng.uniform(1.0, 1.05, E)).astype(np.float32)
     x = rng.integers(0, W, E).astype(np.int32)
@@ -66,7 +71,7 @@ def bench_frontend_raw():
 
     st, digest = frontend(state, chunk, 1.05)
     _sync(digest)
-    iters = 20
+    iters = 2 if SMOKE else 20
     t0 = time.perf_counter()
     st = state
     for _ in range(iters):
@@ -92,7 +97,7 @@ def bench_tracker_tick():
     from esvio_tpu.frontend import tracker as trk
 
     H, W = 260, 346
-    E = 1 << 16           # per camera per tick (≈2 Mev/s stereo at 15 Hz)
+    E = (1 << 12 if SMOKE else 1 << 16)  # per camera per tick (≈2 Mev/s stereo at 15 Hz)
     cfg = trk.TrackerConfig(width=W, height=H, capacity=256,
                             cand_capacity=1024, max_cnt=150, min_dist=10)
     cam = camera.make_pinhole(fx=226.38, fy=226.15, cx=173.6, cy=133.7,
@@ -117,7 +122,7 @@ def bench_tracker_tick():
             cfg, cam, cam, state, mk_chunk(k, t0 + k / 15),
             mk_chunk(100 + k, t0 + k / 15), t0 + (k + 1) / 15)
     _sync(pkt.un)
-    iters = 10
+    iters = 2 if SMOKE else 10
     t1 = time.perf_counter()
     for k in range(iters):
         state, pkt = trk.track_event_stereo(
@@ -128,15 +133,29 @@ def bench_tracker_tick():
 
 
 def _solver_flops(L_img, L_evt, C):
-    """Analytic FLOPs of ONE LM iteration's dominant matmuls: per-block
-    H += JrᵀJr with Jr (N·a, C); the reduced-system Cholesky is O(D³)."""
+    """Analytic FLOPs of ONE LM iteration with the STRUCTURED assembly
+    (gauss_newton.assemble_normal_fast): per-family small einsums instead of
+    C-wide JᵀJ matmuls — the dominant terms are now the Schur reduction
+    Hpl·hll⁻¹·Hplᵀ (2·D²·L) and the D³/3 Cholesky, not assembly.  ~50×
+    fewer FLOPs than the r2 slab model; wall-clock is the honest headline,
+    MFU is reported against THIS count (so it measures efficiency of the
+    work actually done, not bonus points for doing more work)."""
     F, D = 11, 190
-    rows = 10 * 15                      # IMU
+    L_tot = L_img + L_evt
+    fl = 0.0
     for L in (L_img, L_evt):
-        rows += L * F * 2 * 2 + L * 2   # mono + cross + static rows
-    fl = 2.0 * rows * C * C             # JᵀJ matmuls
-    fl += 2.0 * D * D * D / 3.0         # Cholesky + triangular solves
-    fl += 2.0 * rows * C                # Jᵀr
+        n_fac = L * F
+        # residual+jacfwd evaluation (mono 20-dim + cross 26-dim tangents,
+        # ~60 flops per forward pass)
+        fl += n_fac * (21 * 60.0 + 27 * 60.0) + L * 15 * 60.0
+        # piece einsums (B_ij, U_ij, pose_cross, lane reductions) ×2 families
+        fl += 2.0 * n_fac * (72 + 792 + 500)
+    fl += 10 * (31 * 200.0 + 2 * 30 * 30 * 15)      # IMU jacfwd + outer prod
+    fl += 2.0 * D * D * L_tot                        # Schur Hpl hll⁻¹ Hplᵀ
+    fl += 2.0 * D * D * D / 3.0                      # Cholesky + solves
+    fl += 2.0 * D * D                                # prior b
+    # second residual pass for the LM accept test (~40% of an assembly)
+    fl *= 1.4
     return fl
 
 
@@ -150,7 +169,7 @@ def bench_solver():
     args = _make_problem(jnp.float32, L_img=L_img, L_evt=L_evt)
     out = solve_window(*args, iters=8)
     _sync(out[3])
-    reps = 5
+    reps = 1 if SMOKE else 5
     t0 = time.perf_counter()
     for _ in range(reps):
         out = solve_window(*args, iters=8)
@@ -158,8 +177,7 @@ def bench_solver():
     solve_ms = (time.perf_counter() - t0) / reps * 1000.0
 
     C = 190 + L_img + L_evt
-    # per iteration: 1 assemble+factorize + ~1 extra cost evaluation (~1/3)
-    fl = _solver_flops(L_img, L_evt, C) * 8 * 1.33
+    fl = _solver_flops(L_img, L_evt, C) * 8
     gflops = fl / (solve_ms / 1e3) / 1e9
 
     # vmap DP scaling on one chip
@@ -181,12 +199,48 @@ def bench_solver():
                 batch_scaling_eff=(solve_ms * B) / batch_ms)
 
 
+def bench_pose_graph():
+    """4-DoF pose-graph solve at 5k keyframes via the matrix-free PCG path
+    (loop/pose_graph.optimize_4dof_cg) — the unbounded-trajectory budget
+    (reference: 2 s cadence thread, pose_graph.cpp:423-586)."""
+    import jax.numpy as jnp
+    from esvio_tpu.loop import pose_graph
+
+    K = 1 << 10 if SMOKE else 1 << 13     # padded nodes (5k live below)
+    n = K - K // 4
+    rng = np.random.default_rng(2)
+    yaw = np.zeros(K)
+    t = np.zeros((K, 3))
+    yaw[:n] = np.cumsum(rng.normal(0, 0.05, n))
+    t[:n] = np.cumsum(rng.normal(0, 0.01, (n, 3)), 0)
+    valid = np.arange(K) < n
+    E = 128
+    li = rng.integers(0, n // 2, E).astype(np.int32)
+    lj = li + n // 2
+    lt = rng.normal(0, 0.1, (E, 3))
+    ly = rng.normal(0, 0.5, E)
+    lv = np.ones(E, bool)
+    args = (jnp.asarray(yaw), jnp.asarray(t), jnp.zeros(K), jnp.zeros(K),
+            jnp.asarray(valid), jnp.asarray(int(li.min())),
+            jnp.asarray(li), jnp.asarray(lj), jnp.asarray(lt),
+            jnp.asarray(ly), jnp.asarray(lv))
+    out = pose_graph.optimize_4dof_cg(*args, iters=5, cg_iters=100)
+    _sync(out[1])
+    reps = 1 if SMOKE else 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = pose_graph.optimize_4dof_cg(*args, iters=5, cg_iters=100)
+    _sync(out[1])
+    return dict(nodes=n, ms=(time.perf_counter() - t0) / reps * 1000.0)
+
+
 def main():
     import jax
 
     fe = bench_frontend_raw()
     tick_ms = bench_tracker_tick()
     sv = bench_solver()
+    pg = bench_pose_graph()
 
     baseline_events = 10e6  # 5× real-time 2 Mev/s stereo stream (BASELINE.md)
     pipeline_tick_ms = tick_ms + sv["solve_ms"]
@@ -212,7 +266,13 @@ def main():
             "dp_batch": sv["batch"],
             "dp_batch_solves_per_sec": round(
                 sv["batch"] * 1000.0 / sv["batch_ms"], 1),
-            "dp_batch_scaling_eff": round(sv["batch_scaling_eff"], 2),
+            # throughput gain of the B-way batch over B sequential solves
+            "dp_batch_speedup_x": round(sv["batch_scaling_eff"], 2),
+            # per-replica efficiency: speedup / B (1.0 = free batching)
+            "dp_batch_per_replica_eff": round(
+                sv["batch_scaling_eff"] / sv["batch"], 2),
+            "posegraph_nodes": pg["nodes"],
+            "posegraph_5k_solve_ms": round(pg["ms"], 1),
             "device": str(jax.devices()[0]),
         },
     }

@@ -24,7 +24,15 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.4)
+# Cache only EXPENSIVE compiles: `executable.serialize()` on this box's
+# XLA:CPU segfaults/aborts sporadically for small executables under a loaded
+# full-suite run (observed repeatedly at compilation_cache.py:265 in
+# pnp_gn's fori_loop).  The 20-40 s solver/tracker compiles are the ones
+# worth caching anyway; small ones recompile in < 5 s.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# and never serialize XLA:CPU AOT results (machine-feature CHECKs abort on
+# sibling-machine entries)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 import numpy as np
 import pytest

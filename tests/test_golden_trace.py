@@ -1,11 +1,11 @@
-"""Golden-trace regression: the full ESIO pipeline on a fixed synthetic
-sequence must keep producing the same trajectory (within a re-derivation
-tolerance) as the committed golden run.
+"""Golden-trace regression: the full ESIO and ESVIO pipelines on fixed
+synthetic sequences must keep producing the same trajectory (within a
+re-derivation tolerance) as the committed golden runs.
 
 This is the repo's replacement for the reference's de-facto validation by
 rosbag replay + offline ATE comparison (SURVEY.md §4, script/run.sh):
-any regression in the front end, initialization, solver, or marginalization
-shows up as a trajectory delta here.
+any regression in the front end (event OR image path), initialization,
+solver, or marginalization shows up as a trajectory delta here.
 
 Regenerate (after an INTENDED accuracy change) with:
     python tools/make_golden.py
@@ -15,11 +15,12 @@ import os
 import numpy as np
 import pytest
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
-                      "esio_planar_rot.npz")
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+GOLDEN = os.path.join(GOLDEN_DIR, "esio_planar_rot.npz")
+GOLDEN_ESVIO = os.path.join(GOLDEN_DIR, "esvio_planar_rot.npz")
 
 
-def run_golden_pipeline():
+def run_golden_pipeline(mode="esio"):
     from esvio_tpu.apps.pipeline import Pipeline
     from esvio_tpu.core import camera
     from esvio_tpu.frontend import tracker as trk
@@ -29,38 +30,47 @@ def run_golden_pipeline():
 
     H, W, FOCAL, BASELINE, PLANE_Z = 120, 160, 200.0, 0.10, 4.0
     rng = np.random.default_rng(0)
+    frame_hz = 15 if mode == "esvio" else 0
     seq, gt_t, gt_P = planar_vio_sequence_rot(
         rng, H=H, W=W, focal=FOCAL, plane_z=PLANE_Z, baseline=BASELINE,
-        duration=1.6)
+        duration=1.6, frame_hz=frame_hz)
     cam = camera.make_pinhole(fx=FOCAL, fy=FOCAL, cx=W / 2, cy=H / 2,
                               width=W, height=H)
     R_ident = np.eye(3)
     sys_cfg = SystemConfig(
-        system_mode=0, event_width=W, event_height=H,
+        system_mode=0 if mode == "esio" else 1,
+        event_width=W, event_height=H, image_width=W, image_height=H,
         R_body_cam0=R_ident, t_body_cam0=np.zeros(3),
         R_body_cam1=R_ident, t_body_cam1=np.array([BASELINE, 0, 0]),
         R_body_event0=R_ident, t_body_event0=np.zeros(3),
         R_body_event1=R_ident, t_body_event1=np.array([BASELINE, 0, 0]),
-        freq=15, max_cnt=60, min_dist=10, loop_closure=0,
+        freq=15, max_cnt=60, min_dist=10, max_cnt_img=60, min_dist_img=10,
+        loop_closure=0,
     )
     tracker_cfg = trk.TrackerConfig(
         width=W, height=H, capacity=128, cand_capacity=512, max_cnt=60,
         min_dist=10, lk_iters=15)
-    est_cfg = est_mod.EstimatorConfig(mode="esio", evt_capacity=256,
-                                      img_capacity=8, min_track_for_kf=15)
-    pipe = Pipeline(sys_cfg, cams={"event0": cam, "event1": cam},
-                    tracker_cfg=tracker_cfg, est_cfg=est_cfg,
+    img_tracker_cfg = trk.TrackerConfig(
+        width=W, height=H, capacity=128, cand_capacity=512, max_cnt=60,
+        min_dist=10, lk_iters=15) if mode == "esvio" else None
+    est_cfg = est_mod.EstimatorConfig(
+        mode=mode, evt_capacity=256,
+        img_capacity=256 if mode == "esvio" else 8, min_track_for_kf=15)
+    cams = {"event0": cam, "event1": cam}
+    if mode == "esvio":
+        cams.update({"cam0": cam, "cam1": cam})
+    pipe = Pipeline(sys_cfg, cams=cams, tracker_cfg=tracker_cfg,
+                    img_tracker_cfg=img_tracker_cfg, est_cfg=est_cfg,
                     event_capacity=1 << 15)
     res = pipe.run(seq)
     return res, gt_t, gt_P
 
 
-@pytest.mark.slow
-def test_golden_trace_regression():
-    assert os.path.exists(GOLDEN), \
+def _check_against(golden_path, mode):
+    assert os.path.exists(golden_path), \
         "golden trace missing — run `python tools/make_golden.py`"
-    z = np.load(GOLDEN)
-    res, gt_t, gt_P = run_golden_pipeline()
+    z = np.load(golden_path)
+    res, gt_t, gt_P = run_golden_pipeline(mode)
     stamps = np.asarray(res.stamps)
     P = np.asarray(res.P)
 
@@ -74,3 +84,15 @@ def test_golden_trace_regression():
     # absolute accuracy did not regress
     ate = res.ate(gt_t, gt_P, alignment="yaw")
     assert ate <= float(z["ate"]) * 1.5 + 0.01, (ate, float(z["ate"]))
+
+
+@pytest.mark.slow
+def test_golden_trace_regression():
+    _check_against(GOLDEN, "esio")
+
+
+@pytest.mark.slow
+def test_golden_trace_regression_esvio():
+    """ESVIO golden: stereo events + stereo frames (the image path is a
+    shipped capability — feature_tracker.cpp:164-338)."""
+    _check_against(GOLDEN_ESVIO, "esvio")
