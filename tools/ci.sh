@@ -6,10 +6,12 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# per-file processes: this box's XLA:CPU JIT segfaults under large
+# single-process compile counts (tools/run_suite.sh header)
 if [[ "${1:-}" == "--full" ]]; then
-    python -m pytest tests/ -q
+    tools/run_suite.sh
 else
-    python -m pytest tests/ -q -m "not slow"
+    tools/run_suite.sh -m "not slow"
 fi
 
 # bench smoke: the benchmark path must import, compile, and print its JSON
