@@ -57,28 +57,30 @@ def make_sharded_solver(mesh, iters: int = 8, cauchy_c: float = 1.0,
     """
 
     def local_step(state, bi, be, preints, imu_valid, prior, g, lam_damp):
-        """One LM iteration on this shard's books; returns accepted update."""
+        """One LM iteration on this shard's books; returns accepted update.
+
+        Uses the structured normal-equation assembly (assemble_normal_fast)
+        — per-shard H built block-wise with no (R, C) Jacobian, the same
+        ~50×-fewer-FLOPs path as the single-chip solver; only the reduced
+        (190, 190) system and the column norms of the shared pose block
+        cross shards (psum over "lm")."""
         dtype = state.P.dtype
         first = jax.lax.axis_index("lm") == 0
-        w_once = first.astype(dtype)
 
-        # local linearization: books are the local shard; IMU+prior weighted
-        # to appear on shard 0 only
+        # books are the local shard; IMU+prior weighted to shard 0 only
         prior_local = dataclasses.replace(
             prior, valid=prior.valid & first)
         iv_local = imu_valid & first
-        J, r, L_tot = gn.linearize(state, bi, be, preints, iv_local,
-                                   prior_local, g, cauchy_c)
-        col_norm2 = jax.lax.psum(jnp.sum(J * J, axis=0)[:DIM_ALL], "lm")
-        lm_norm2 = jnp.sum(J * J, axis=0)[DIM_ALL:]
-        col_norm = jnp.sqrt(jnp.concatenate([col_norm2, lm_norm2]))
+        H_raw, b_raw, cost2 = gn.assemble_normal_fast(
+            state, bi, be, preints, iv_local, prior_local, g, cauchy_c)
+        col_norm2 = jax.lax.psum(jnp.diagonal(H_raw)[:DIM_ALL], "lm")
+        col_norm = jnp.sqrt(jnp.concatenate(
+            [col_norm2, jnp.diagonal(H_raw)[DIM_ALL:]]))
         active_col = col_norm > 1e-10
         d_inv = jnp.where(active_col, 1.0 / jnp.where(active_col, col_norm, 1.0),
                           0.0)
-        Js = J * d_inv[None, :]
-
-        H = Js.T @ Js
-        b = Js.T @ r
+        H = H_raw * d_inv[None, :] * d_inv[:, None]
+        b = b_raw * d_inv
         Hpp = H[:DIM_ALL, :DIM_ALL]
         Hpl = H[:DIM_ALL, DIM_ALL:]
         hll = jnp.diagonal(H)[DIM_ALL:]
@@ -100,10 +102,10 @@ def make_sharded_solver(mesh, iters: int = 8, cauchy_c: float = 1.0,
         bi_new = dataclasses.replace(bi, inv_depth=bi.inv_depth + dlam[:L_img])
         be_new = dataclasses.replace(be, inv_depth=be.inv_depth + dlam[L_img:])
 
-        c_old = jax.lax.psum(0.5 * jnp.sum(r * r), "lm")
-        _, r_new, _ = gn.linearize(st_new, bi_new, be_new, preints, iv_local,
-                                   prior_local, g, cauchy_c, with_jac=False)
-        c_new = jax.lax.psum(0.5 * jnp.sum(r_new * r_new), "lm")
+        c_old = jax.lax.psum(0.5 * cost2, "lm")
+        c_new = jax.lax.psum(
+            gn.problem_cost(st_new, bi_new, be_new, preints, iv_local,
+                            prior_local, g, cauchy_c), "lm")
         accept = c_new < c_old
         sel = lambda a, b_: jnp.where(accept, b_, a)
         state = jax.tree_util.tree_map(sel, state, st_new)

@@ -141,8 +141,14 @@ def corner_mask(state: SAEState, impl: str = "auto"):
     xla elsewhere; override with ESVIO_CORNER_IMPL)."""
     import os
     if impl == "auto":
-        impl = os.environ.get("ESVIO_CORNER_IMPL") or (
-            "pallas" if jax.default_backend() == "tpu" else "xla")
+        # "auto" = xla.  Measured on the real chip (r3): the pallas kernel
+        # is no faster than the rolled-plane XLA path (2.2 ms both at
+        # 2×260×346) and DISAGREES with it on hardware (13 vs 2587 corners
+        # on a random SAE — parity holds only in CPU interpret mode, so the
+        # tile indexing is wrong on real TPU).  Until that is root-caused
+        # the product path is the oracle-tested XLA kernel; opt back in with
+        # ESVIO_CORNER_IMPL=pallas.
+        impl = os.environ.get("ESVIO_CORNER_IMPL", "xla")
     if impl == "pallas":
         from esvio_tpu.events import corners_pallas
         return corners_pallas.corner_mask_pallas(state.sae)

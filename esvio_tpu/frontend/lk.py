@@ -37,6 +37,20 @@ def _extract_patches(img, oy, ox, Sy, Sx):
         lambda y, x: jax.lax.dynamic_slice(img, (y, x), (Sy, Sx)))(oy, ox)
 
 
+def _scharr_patches(P):
+    """Batched 3×3 Scharr (∂x, ∂y, OpenCV LK's 1/32 normalization) computed
+    directly on (N, Sy, Sx) patches with edge replication — same taps on the
+    same data as a full-image Scharr for every window ≥ 1 px inside the
+    patch (templates are patch-centered, so always), at patch cost instead
+    of one full-size derivative image pair per pyramid level."""
+    Pp = jnp.pad(P, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    rows = 3.0 * Pp[:, :-2, :] + 10.0 * Pp[:, 1:-1, :] + 3.0 * Pp[:, 2:, :]
+    ix = (rows[:, :, 2:] - rows[:, :, :-2]) / 32.0
+    cols = 3.0 * Pp[:, :, :-2] + 10.0 * Pp[:, :, 1:-1] + 3.0 * Pp[:, :, 2:]
+    iy = (cols[:, 2:, :] - cols[:, :-2, :]) / 32.0
+    return ix, iy
+
+
 def _hat_sample(patch, ry, rx):
     """Bilinear resample inside patches via separable hat-weight matmuls.
 
@@ -56,7 +70,7 @@ def _hat_sample(patch, ry, rx):
     return jnp.einsum("nit,njt->nij", V, Wx)                     # (N, 21, 21)
 
 
-def _track_level(img_prev, ix_prev, iy_prev, img_cur, pts_prev, guess,
+def _track_level(img_prev, img_cur, pts_prev, guess,
                  iters, eps, check_status=True, active=None):
     """One pyramid level of LK for ALL features. Returns (new_guess, ok).
 
@@ -79,9 +93,11 @@ def _track_level(img_prev, ix_prev, iy_prev, img_cur, pts_prev, guess,
     ox_t = jnp.clip(jnp.floor(px).astype(jnp.int32) - Sx // 2, 0, W - Sx)
     ry_t = (py - oy_t.astype(dtype))[:, None] + off[None, :]
     rx_t = (px - ox_t.astype(dtype))[:, None] + off[None, :]
-    Tp = _hat_sample(_extract_patches(img_prev, oy_t, ox_t, Sy, Sx), ry_t, rx_t)
-    Ix = _hat_sample(_extract_patches(ix_prev, oy_t, ox_t, Sy, Sx), ry_t, rx_t)
-    Iy = _hat_sample(_extract_patches(iy_prev, oy_t, ox_t, Sy, Sx), ry_t, rx_t)
+    Pp = _extract_patches(img_prev, oy_t, ox_t, Sy, Sx)   # ONE extraction
+    Ixp, Iyp = _scharr_patches(Pp)                        # in-patch gradients
+    Tp = _hat_sample(Pp, ry_t, rx_t)
+    Ix = _hat_sample(Ixp, ry_t, rx_t)
+    Iy = _hat_sample(Iyp, ry_t, rx_t)
 
     g_xx = jnp.sum(Ix * Ix, (1, 2))
     g_xy = jnp.sum(Ix * Iy, (1, 2))
@@ -147,7 +163,7 @@ def lk_track(pyr_prev, pyr_cur, pts_prev, valid, pts_init=None,
     """Track features from the previous to the current pyramid.
 
     Args:
-      pyr_prev / pyr_cur: list of (img, ix, iy) per level (from
+      pyr_prev / pyr_cur: list of (img,) levels (from
         `pyramid.build_lk_pyramid`), level 0 = full resolution.
       pts_prev: (N, 2) float (x, y) at level 0.
       valid: (N,) bool — features to track (padding lanes are skipped).
@@ -166,14 +182,14 @@ def lk_track(pyr_prev, pyr_cur, pts_prev, valid, pts_init=None,
     status = jnp.ones(pts_prev.shape[0], bool)
 
     for lvl in reversed(range(levels)):
-        img_p, ix_p, iy_p = pyr_prev[lvl]
-        img_c, _, _ = pyr_cur[lvl]
+        img_p = pyr_prev[lvl][0]
+        img_c = pyr_cur[lvl][0]
         if min(img_p.shape) >= WIN:  # skip levels smaller than the window
             s = 2.0 ** lvl
             p_lvl = pts_prev / s
             check = lvl == 0
             new_guess, ok = _track_level(
-                img_p, ix_p, iy_p, img_c, p_lvl, guess, iters, eps,
+                img_p, img_c, p_lvl, guess, iters, eps,
                 check_status=check, active=valid)
             status = status & ok
             guess = new_guess

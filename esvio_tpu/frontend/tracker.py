@@ -168,21 +168,30 @@ def track_event_stereo(cfg: TrackerConfig, cam_left: CameraModel,
 
     key, k_ransac = jax.random.split(state.key)
 
-    # ---- 1. SAE + time surfaces -------------------------------------------
-    sae_l, _ = sae_mod.update_sae(state.sae_left, chunk_left, cfg.filter_threshold)
-    sae_r, _ = sae_mod.update_sae(state.sae_right, chunk_right, cfg.filter_threshold)
-    ts_l = sae_mod.time_surface(sae_l, t_now, cfg.decay_ms, cfg.ignore_polarity,
-                                median_blur_ksize=cfg.median_blur_ksize)
-    ts_r = sae_mod.time_surface(sae_r, t_now, cfg.decay_ms, cfg.ignore_polarity,
-                                median_blur_ksize=cfg.median_blur_ksize)
+    # ---- 1. SAE + time surfaces — both cameras BATCHED --------------------
+    # L and R are independent; vmapping over a leading camera axis halves
+    # the serial chain of sorts/scans/convs (each ~5 ms alone on TPU)
+    sae_lr = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), state.sae_left, state.sae_right)
+    chunk_lr = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), chunk_left, chunk_right)
+    sae_lr, _ = jax.vmap(
+        lambda s, c: sae_mod.update_sae(s, c, cfg.filter_threshold)
+    )(sae_lr, chunk_lr)
+    ts_lr = jax.vmap(
+        lambda s: sae_mod.time_surface(
+            s, t_now, cfg.decay_ms, cfg.ignore_polarity,
+            median_blur_ksize=cfg.median_blur_ksize))(sae_lr)
     if cfg.equalize:  # CLAHE (feature_tracker.cpp:375-387)
         from esvio_tpu.frontend.clahe import clahe as _clahe
-        ts_l = _clahe(ts_l)
-        ts_r = _clahe(ts_r)
-    pyr_l = tuple(tuple(x for x in lvl)
-                  for lvl in pyramid.build_lk_pyramid(ts_l, cfg.lk_levels))
-    pyr_r = tuple(tuple(x for x in lvl)
-                  for lvl in pyramid.build_lk_pyramid(ts_r, cfg.lk_levels))
+        ts_lr = jax.vmap(_clahe)(ts_lr)
+    pyr_lr = jax.vmap(
+        lambda img: pyramid.build_lk_pyramid(img, cfg.lk_levels))(ts_lr)
+    sae_l = jax.tree_util.tree_map(lambda x: x[0], sae_lr)
+    sae_r = jax.tree_util.tree_map(lambda x: x[1], sae_lr)
+    ts_l = ts_lr[0]
+    pyr_l = tuple(tuple(x[0] for x in lvl) for lvl in pyr_lr)
+    pyr_r = tuple(tuple(x[1] for x in lvl) for lvl in pyr_lr)
 
     # ---- 2. temporal LK + reverse check (feature_tracker.cpp:410-428) -----
     cur, st = lk.lk_track(state.prev_pyr, pyr_l, state.pts, state.valid,
@@ -263,8 +272,9 @@ def track_event_stereo(cfg: TrackerConfig, cam_left: CameraModel,
     # ---- 5. stereo LK with reverse check (feature_tracker.cpp:490-505) ----
     r_pts, r_st = lk.lk_track(pyr_l, pyr_r, pts_n, valid_n, pts_init=pts_n,
                               iters=cfg.lk_iters)
-    r_back, r_st_b = lk.lk_track(pyr_r, pyr_l, r_pts, r_st, pts_init=pts_n,
-                                 iters=cfg.lk_iters)
+    # reverse check starts AT the answer — fine levels only (cf. temporal)
+    r_back, r_st_b = lk.lk_track(pyr_r[:2], pyr_l[:2], r_pts, r_st,
+                                 pts_init=pts_n, iters=cfg.lk_iters)
     r_fb = jnp.sum((r_back - pts_n) ** 2, axis=-1) <= cfg.fb_threshold ** 2
     right_valid = r_st & r_st_b & r_fb & _in_border(cfg, r_pts) & valid_n
 
@@ -355,10 +365,12 @@ def track_image_stereo(cfg: TrackerConfig, cam_left: CameraModel,
         from esvio_tpu.frontend.clahe import clahe as _clahe
         img_l = _clahe(img_l)
         img_r = _clahe(img_r)
-    pyr_l = tuple(tuple(x for x in lvl)
-                  for lvl in pyramid.build_lk_pyramid(img_l, cfg.lk_levels))
-    pyr_r = tuple(tuple(x for x in lvl)
-                  for lvl in pyramid.build_lk_pyramid(img_r, cfg.lk_levels))
+    # both frames' pyramids batched (independent work, halves serial latency)
+    pyr_lr = jax.vmap(
+        lambda im: pyramid.build_lk_pyramid(im, cfg.lk_levels)
+    )(jnp.stack([img_l, img_r]))
+    pyr_l = tuple(tuple(x[0] for x in lvl) for lvl in pyr_lr)
+    pyr_r = tuple(tuple(x[1] for x in lvl) for lvl in pyr_lr)
 
     cur, st = lk.lk_track(state.prev_pyr, pyr_l, state.pts, state.valid,
                           iters=cfg.lk_iters)
@@ -416,8 +428,9 @@ def track_image_stereo(cfg: TrackerConfig, cam_left: CameraModel,
 
     r_pts, r_st = lk.lk_track(pyr_l, pyr_r, pts_n, valid_n, pts_init=pts_n,
                               iters=cfg.lk_iters)
-    r_back, r_st_b = lk.lk_track(pyr_r, pyr_l, r_pts, r_st, pts_init=pts_n,
-                                 iters=cfg.lk_iters)
+    # reverse check starts AT the answer — fine levels only (cf. temporal)
+    r_back, r_st_b = lk.lk_track(pyr_r[:2], pyr_l[:2], r_pts, r_st,
+                                 pts_init=pts_n, iters=cfg.lk_iters)
     r_fb = jnp.sum((r_back - pts_n) ** 2, axis=-1) <= cfg.fb_threshold ** 2
     right_valid = r_st & r_st_b & r_fb & _in_border(cfg, r_pts) & valid_n
 

@@ -15,6 +15,29 @@ import jax.numpy as jnp
 from esvio_tpu.core import lie
 
 
+def pad_points(pts_w, obs_un, min_size: int = 16):
+    """Pad host-side (n, 3)/(n, 2) correspondence arrays to the next
+    power-of-two bucket with a validity mask.
+
+    Callers with data-dependent point counts would otherwise compile
+    pnp_gn/pnp_ransac once per distinct n — besides wasting compile time,
+    this box's XLA:CPU segfaults under that compile churn (observed
+    repeatedly inside backend_compile of pnp_gn's fori_loop mid-suite).
+    Static bucketed shapes are the framework's design rule anyway.
+    """
+    import numpy as np
+    n = len(pts_w)
+    b = max(min_size, 1 << max(n - 1, 0).bit_length())
+    P = np.zeros((b, 3), float)
+    O = np.zeros((b, 2), float)
+    V = np.zeros(b, bool)
+    if n:
+        P[:n] = np.asarray(pts_w, float)
+        O[:n] = np.asarray(obs_un, float)
+        V[:n] = True
+    return P, O, V
+
+
 def pnp_gn(pts_w, obs_un, valid, R0, t0, iters: int = 10):
     """Minimize Σ‖π(R(p - t)) - obs‖² over camera pose (world→cam R, cam center t).
 

@@ -448,14 +448,26 @@ class Estimator:
         self._calib_pairs = self._calib_pairs[-50:]
         if len(self._calib_pairs) < WINDOW:
             return
-        q_c = jnp.asarray(np.stack([p[0] for p in self._calib_pairs]), dt)
-        q_i = jnp.asarray(np.stack([p[1] for p in self._calib_pairs]), dt)
+        # pad the pair buffer to a power-of-two bucket (one compile per
+        # bucket, not per count — see pnp.pad_points)
+        n_pairs = len(self._calib_pairs)
+        b = max(16, 1 << (n_pairs - 1).bit_length())
+        qc_b = np.zeros((b, 4))
+        qi_b = np.zeros((b, 4))
+        qc_b[:, 0] = 1.0
+        qi_b[:, 0] = 1.0
+        qc_b[:n_pairs] = np.stack([p[0] for p in self._calib_pairs])
+        qi_b[:n_pairs] = np.stack([p[1] for p in self._calib_pairs])
+        q_c = jnp.asarray(qc_b, dt)
+        q_i = jnp.asarray(qi_b, dt)
+        pair_valid = jnp.asarray(np.arange(b) < n_pairs)
         # Huber weights use the freshest estimate: the internal candidate
         # while the stability window is open (ws.ex_q is only written on
         # acceptance), else the window extrinsic
         ric0 = jnp.asarray(self._ex_calib_last_q, dt) \
             if self._ex_calib_last_q is not None else self.ws.ex_q[ex_idx]
-        q, ok, S = ex_rotation.calibrate_ex_rotation(q_c, q_i, ric0)
+        q, ok, S = ex_rotation.calibrate_ex_rotation(q_c, q_i, ric0,
+                                                     valid=pair_valid)
         if bool(ok):
             # Acceptance (→ ESTIMATE_EXTRINSIC = 1 analog).  The reference's
             # absolute gate (ric_cov > 0.25) accepts immediately; the relaxed
@@ -575,13 +587,12 @@ class Estimator:
                 R_wc.append(alt[0])
                 t_wc.append(alt[1])
                 continue
-            pts_w = np.asarray(pts_w)
-            obs2 = np.asarray(obs2)
+            pts_p, obs_p, val_p = pnp.pad_points(pts_w, obs2)
             R0 = R_wc[f - 1].T  # world→cam seed
             t0 = t_wc[f - 1]
             R, tt, err = pnp.pnp_gn(
-                jnp.asarray(pts_w, dt), jnp.asarray(obs2, dt),
-                jnp.ones(len(pts_w), bool), jnp.asarray(R0, dt),
+                jnp.asarray(pts_p, dt), jnp.asarray(obs_p, dt),
+                jnp.asarray(val_p), jnp.asarray(R0, dt),
                 jnp.asarray(t0, dt), iters=15)
             if float(err) > 5.0 / win.FOCAL:
                 alt = hybrid_step(f)
@@ -876,10 +887,10 @@ class Estimator:
         R_seed_wc = R_old_b @ Rex
         c_seed = relo["P"] + R_old_b @ tex
         key = jax.random.PRNGKey(int(relo["stamp"] * 1e3) & 0x7FFFFFFF)
+        sel_pp, sel_op, sel_vp = pnp.pad_points(sel_p, sel_o)
         R_cw, c, inl = pnp.pnp_ransac(
-            key, jnp.asarray(np.asarray(sel_p), dt),
-            jnp.asarray(np.asarray(sel_o), dt),
-            jnp.ones(len(sel_p), bool), jnp.asarray(R_seed_wc.T, dt),
+            key, jnp.asarray(sel_pp, dt), jnp.asarray(sel_op, dt),
+            jnp.asarray(sel_vp), jnp.asarray(R_seed_wc.T, dt),
             jnp.asarray(c_seed, dt))
         if int(jnp.sum(inl)) < 15:    # MIN_LOOP_NUM (keyframe.h:18)
             return None
