@@ -624,14 +624,22 @@ def solve_window(state: WindowState, book_img: FeatureBook, book_evt: FeatureBoo
     J0w = prior.J0 * prior.valid.astype(dtype)
     prior_H0 = J0w.T @ J0w            # constant across iterations
 
-    def cost_of(st, bi, be):
-        return problem_cost(st, bi, be, preints, imu_valid, prior, g, cauchy_c)
-
-    def step(carry, _):
-        st, bi, be, lam_damp = carry
-        H_raw, b_raw, cost2 = assemble_normal_fast(
+    def assemble(st, bi, be):
+        return assemble_normal_fast(
             st, bi, be, preints, imu_valid, prior, g, cauchy_c,
             prior_H=prior_H0)
+
+    # Deferred-acceptance LM: the normal equations at the CURRENT accepted
+    # state ride in the scan carry; each iteration proposes a step from them
+    # and runs exactly ONE assembly (at the proposed state), whose cost IS
+    # the accept test and whose (H, b) become the next carry on acceptance.
+    # Identical accept decisions and iterates to the classic
+    # assemble-then-re-evaluate loop, minus the per-iteration residual pass
+    # (VERDICT r2 #3: fold the accept-test cost into the next assembly).
+    H0, b0, cost0 = assemble(state, book_img, book_evt)
+
+    def step(carry, _):
+        st, bi, be, H_raw, b_raw, cost2, lam_damp = carry
 
         # Jacobi column scaling (Ceres-style): the raw system mixes bias-walk
         # weights (~1e5) with vision (~3e2) — cond(H) up to 1e40.  Scaling
@@ -667,21 +675,22 @@ def solve_window(state: WindowState, book_img: FeatureBook, book_evt: FeatureBoo
         st_new = apply_delta(st, dxp)
         bi_new, be_new = _merge_books_depth(bi, be, dlam, L_img)
 
-        c_old = 0.5 * cost2
-        c_new = cost_of(st_new, bi_new, be_new)
-        accept = c_new < c_old
-        st = jax.tree_util.tree_map(
-            lambda a, b_: jnp.where(accept, b_, a), st, st_new)
-        bi = jax.tree_util.tree_map(
-            lambda a, b_: jnp.where(accept, b_, a), bi, bi_new)
-        be = jax.tree_util.tree_map(
-            lambda a, b_: jnp.where(accept, b_, a), be, be_new)
+        H_new, b_new, cost_new = assemble(st_new, bi_new, be_new)
+        accept = 0.5 * cost_new < 0.5 * cost2
+        sel = lambda a, b_: jnp.where(accept, b_, a)
+        st = jax.tree_util.tree_map(sel, st, st_new)
+        bi = jax.tree_util.tree_map(sel, bi, bi_new)
+        be = jax.tree_util.tree_map(sel, be, be_new)
+        H_raw = jnp.where(accept, H_new, H_raw)
+        b_raw = jnp.where(accept, b_new, b_raw)
+        cost2 = jnp.where(accept, cost_new, cost2)
         lam_damp = jnp.where(accept, jnp.maximum(lam_damp / 10.0, lam_floor),
                              jnp.minimum(lam_damp * 100.0, 1e4))
-        return (st, bi, be, lam_damp), c_new
+        return (st, bi, be, H_raw, b_raw, cost2, lam_damp), 0.5 * cost_new
 
     lam0, lam_floor = damping_schedule(dtype)
-    init = (state, book_img, book_evt, jnp.asarray(lam0, dtype))
-    (state, book_img, book_evt, _), costs = jax.lax.scan(
+    init = (state, book_img, book_evt, H0, b0, cost0,
+            jnp.asarray(lam0, dtype))
+    (state, book_img, book_evt, *_), costs = jax.lax.scan(
         step, init, None, length=iters)
     return state, book_img, book_evt, costs
