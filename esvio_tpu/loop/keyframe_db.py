@@ -185,10 +185,14 @@ class KeyFrameDB:
         hi = index - self.skip_recent
         if hi <= 0 or index <= self.skip_recent:
             return None
-        if self.words is not None:
-            scores = self._bow_scores(index, hi)
-        else:   # vocabulary not frozen yet — mean-BRIEF fallback
-            scores = self.gdesc[:hi] @ self.gdesc[index]
+        if self.words is None:
+            # Vocabulary not frozen yet (needs WORD_POOL_MIN descriptors,
+            # ~4-5 keyframes): refuse to answer rather than score with the
+            # mean-BRIEF fallback, whose same/different-place distributions
+            # (~0.90/0.86) sit entirely above the calibrated gates — every
+            # candidate would pass (ADVICE r3).
+            return None
+        scores = self._bow_scores(index, hi)
         order = np.argsort(-scores)[:TOP_K]
         top = scores[order]
         if len(top) == 0 or top[0] < MIN_SCORE_ABS:

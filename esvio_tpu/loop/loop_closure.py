@@ -352,6 +352,10 @@ class LoopCloser:
         self.r_drift = np.asarray(lie.ypr_to_rot(jnp.asarray(
             [yaw_drift, 0.0, 0.0])))
         self.t_drift = db.t_opt[last] - self.r_drift @ db.t_vio[last]
+        # reset the cadence schedule — without this every keyframe after the
+        # first accepted loop re-solves the whole graph (ADVICE r3)
+        self._opt_pending = False
+        self._kfs_since_opt = 0
 
     def correct_odometry(self, t_w, q_w):
         """Apply sequence shift + loop drift to an incoming VIO pose

@@ -340,3 +340,59 @@ def test_loop_retrieval_under_perceptual_aliasing(rng):
             else xs2[info["i_old"] - n1]
         x_new = xs2[info["j_new"] - n1]
         assert abs(x_old - x_new) < 3.0, (x_old, x_new)
+
+def test_optimize_cadence_solve_count(monkeypatch):
+    """The 4-DoF solve runs on the keyframe cadence, not per keyframe.
+
+    ADVICE r3: _optimize() must reset the cadence counters, otherwise after
+    the first accepted loop every subsequent keyframe re-solves the graph.
+    Expected schedule with cadence=5 and a loop accepted at every keyframe
+    from index 12 on: the first-ever loop solves immediately, then one solve
+    per 5 registered keyframes.
+    """
+    cam = camera.make_pinhole(fx=FOCAL, fy=FOCAL, cx=W / 2, cy=H / 2,
+                              width=W, height=H)
+    cfg = loop_closure.LoopConfig(optimize_cadence=5, skip_recent=10,
+                                  max_extra_corners=64)
+    lc = loop_closure.LoopCloser(cfg, cam=cam)
+
+    solves = []
+    orig_opt = loop_closure.LoopCloser._optimize
+
+    def counting_opt(self):
+        solves.append(self.db.count)
+        return orig_opt(self)
+
+    monkeypatch.setattr(loop_closure.LoopCloser, "_optimize", counting_opt)
+    monkeypatch.setattr(
+        keyframe_db := __import__(
+            "esvio_tpu.loop.keyframe_db", fromlist=["KeyFrameDB"]
+        ).KeyFrameDB,
+        "query", lambda self, idx: idx - 11 if idx >= 12 else None)
+    monkeypatch.setattr(
+        loop_closure.LoopCloser, "_find_connection",
+        lambda self, j_new, i_old: dict(
+            i_old=int(i_old), j_new=int(j_new), rel_t=np.zeros(3),
+            rel_yaw=0.0, matched_ids=np.zeros(0, np.int32),
+            matched_old_un=np.zeros((0, 2)), old_t=np.zeros(3),
+            old_q=np.array([1.0, 0, 0, 0])))
+
+    img = np.zeros((H, W))
+    q_id = np.array([1.0, 0, 0, 0])
+    pts = np.zeros((4, 3))
+    uv = np.array([[90.0, 70], [100, 70], [90, 80], [100, 80]])
+    ok = np.ones(4, bool)
+    n_kf = 30
+    for k in range(n_kf):
+        lc.add_keyframe(float(k), np.array([0.1 * k, 0, 0]), q_id,
+                        pts, uv, ok, img)
+
+    # first loop (k=12) solves immediately; afterwards at most one solve per
+    # `optimize_cadence` keyframes even though EVERY keyframe adds a loop
+    assert len(solves) >= 2, solves
+    expected_max = 1 + (n_kf - 12) // cfg.optimize_cadence + 1
+    assert len(solves) <= expected_max, \
+        f"{len(solves)} solves for {n_kf - 12} loop keyframes " \
+        f"(cadence {cfg.optimize_cadence}): {solves}"
+    for a, b in zip(solves[1:], solves[2:]):
+        assert b - a >= cfg.optimize_cadence, solves

@@ -66,12 +66,16 @@ def test_two_process_distributed_ba(tmp_path):
     # both ranks observed the same global costs
     np.testing.assert_allclose(outs[0]["costs"], outs[1]["costs"], rtol=1e-6)
 
-    # MULTICHIP-style artifact for the judge
-    art = {
-        "kind": "2-process jax.distributed CPU parity",
-        "processes": nproc, "local_devices": local,
-        "mesh": outs[0]["mesh"], "max_rel_diff": outs[0]["max_rel_diff"],
-        "ok": all(o["ok"] for o in outs),
-    }
-    with open(os.path.join(REPO, "MULTIHOST_2PROC.json"), "w") as f:
-        json.dump(art, f, indent=1)
+    # MULTICHIP-style artifact for the judge.  Written to the repo root only
+    # when ESVIO_ARTIFACT_DIR asks for it (tools/ci.sh) — a plain test run
+    # must not mutate the working tree (ADVICE r3).
+    art_dir = os.environ.get("ESVIO_ARTIFACT_DIR")
+    if art_dir:
+        art = {
+            "kind": "2-process jax.distributed CPU parity",
+            "processes": nproc, "local_devices": local,
+            "mesh": outs[0]["mesh"], "max_rel_diff": outs[0]["max_rel_diff"],
+            "ok": all(o["ok"] for o in outs),
+        }
+        with open(os.path.join(art_dir, "MULTIHOST_2PROC.json"), "w") as f:
+            json.dump(art, f, indent=1)
