@@ -41,15 +41,24 @@ def imu_sqrt_info(covariance):
 
 
 def imu_residual(Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj,
-                 pre_state: pre.Preintegrated, g):
+                 pre_state: pre.Preintegrated, g, sqrt_info=None):
     """(15,) weighted residual."""
     r = pre.evaluate(pre_state, g, Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj)
-    return imu_sqrt_info(pre_state.covariance) @ r
+    if sqrt_info is None:
+        sqrt_info = imu_sqrt_info(pre_state.covariance)
+    return sqrt_info @ r
 
 
-def imu_residual_jac(Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, pre_state, g):
-    """Residual + Jacobians w.r.t. (δpose_i(6), δsb_i(9), δpose_j(6), δsb_j(9))."""
-    sqrt_info = imu_sqrt_info(pre_state.covariance)  # constant w.r.t. δ
+def imu_residual_jac(Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, pre_state, g,
+                     sqrt_info=None):
+    """Residual + Jacobians w.r.t. (δpose_i(6), δsb_i(9), δpose_j(6), δsb_j(9)).
+
+    sqrt_info: optionally precomputed imu_sqrt_info(pre_state.covariance) —
+    it depends on the preintegration only, so LM solvers hoist the 15×15
+    inverse+Cholesky OUT of the iteration loop (XLA does not move the
+    custom-call out of lax.scan by itself; it cost ~0.9 ms/iteration at B=8)."""
+    if sqrt_info is None:
+        sqrt_info = imu_sqrt_info(pre_state.covariance)  # constant w.r.t. δ
 
     def f(delta):
         dpi = delta[0:6]

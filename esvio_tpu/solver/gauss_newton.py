@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from esvio_tpu.imu import preintegration as pre
 from esvio_tpu.solver import factors
 from esvio_tpu.solver.window import (
-    DIM_ALL, N_STATES, OFF_EX, OFF_SB, OFF_TD, WINDOW,
+    DIM_ALL, N_EX, N_STATES, OFF_EX, OFF_SB, OFF_TD, WINDOW,
     FeatureBook, WindowState, apply_delta, start_frame, state_minus, used_num,
 )
 
@@ -82,7 +82,7 @@ def _scatter_rows(J, rows, cols, vals):
 def factor_blocks(state: WindowState, book_img: FeatureBook,
                   book_evt: FeatureBook, preints: pre.Preintegrated,
                   imu_valid, prior: Prior, g, cauchy_c: float = 1.0,
-                  with_jac: bool = True):
+                  with_jac: bool = True, imu_sqrt=None):
     """Evaluate every factor family as weighted dense blocks.
 
     Returns (blocks, (r_prior, J_prior), L_tot) where blocks is a list of
@@ -104,14 +104,18 @@ def factor_blocks(state: WindowState, book_img: FeatureBook,
     Bai, Baj = state.Ba[:-1], state.Ba[1:]
     Bgi, Bgj = state.Bg[:-1], state.Bg[1:]
 
+    if imu_sqrt is None:
+        # 15×15 inverse+Cholesky per interval — preintegration-only, so LM
+        # loops precompute it once and pass it in (see imu_residual_jac)
+        imu_sqrt = factors.imu_sqrt_info(preints.covariance)
     if with_jac:
         r_imu, J_imu = jax.vmap(
-            lambda *a: factors.imu_residual_jac(*a, g)
-        )(Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, preints)
+            lambda *a: factors.imu_residual_jac(*a[:-1], g, a[-1])
+        )(Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, preints, imu_sqrt)
     else:
         r_imu = jax.vmap(
-            lambda *a: factors.imu_residual(*a, g)
-        )(Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, preints)
+            lambda *a: factors.imu_residual(*a[:-1], g, a[-1])
+        )(Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, preints, imu_sqrt)
         J_imu = None
     m = imu_valid[:, None].astype(dtype)
     r_imu = r_imu * m
@@ -546,6 +550,240 @@ def assemble_normal_fast(state: WindowState, book_img: FeatureBook,
     return H, b, cost
 
 
+def _imu_onehot(dtype=jnp.float32):
+    """(10, 30, DIM_ALL) one-hot column selector of the k-th IMU factor's
+    parameter layout [pose_k 6 | sb_k 9 | pose_k+1 6 | sb_k+1 9] — a
+    compile-time constant, so the banded IMU JᵀJ becomes two small matmuls
+    instead of a 9000-element scatter-add (TPU scatters serialize; under a
+    B-way vmap they serialize B times over)."""
+    import numpy as np
+    E = np.zeros((WINDOW, 30, DIM_ALL), np.float32)
+    for k in range(WINDOW):
+        cols = (list(range(k * 6, k * 6 + 6))
+                + list(range(OFF_SB + k * 9, OFF_SB + k * 9 + 9))
+                + list(range((k + 1) * 6, (k + 1) * 6 + 6))
+                + list(range(OFF_SB + (k + 1) * 9, OFF_SB + (k + 1) * 9 + 9)))
+        E[k, np.arange(30), cols] = 1.0
+    return jnp.asarray(E, dtype)
+
+
+def _proj_factor_table(state: WindowState, book: FeatureBook,
+                       exl: int, exr: int, cauchy_c: float):
+    """Unified per-book projection-factor table: all mono + cross + static
+    factors evaluated by ONE nested-vmapped proj22 Jacobian.
+
+    Rows per lane: M = F (mono) + F (cross) + 1 (static).  The three Ceres
+    factor types (projectionTwoFrame{One,Two}CamFactor, OneFrameTwoCam) are
+    all the same projection chain:
+      * mono  = two-frame-two-cam with ex1 := ex0 (the ∂/∂ex0 and ∂/∂ex1
+        blocks then sum to the shared-extrinsic derivative — chain rule);
+      * static = two-frame-two-cam with frame j := frame i (the pose
+        Jacobians cancel exactly and are zeroed explicitly).
+    One evaluation graph instead of six keeps the elementwise chains in a
+    few big fusions (the r3 layout cost ~1 ms/iteration in tiny-op dispatch
+    and reshape-relayout copies at B=8).
+
+    Returns (r (L,M,2), J (L,M,2,26), jidx (L,M), start (L,)), with Cauchy
+    weights and validity masks already folded into r and J, and J's ex1
+    block already folded for mono rows.
+    """
+    dtype = state.P.dtype
+    L = book.un.shape[0]
+    F = N_STATES
+    M = 2 * F + 1
+    gate = _book_gate(book)
+    start = start_frame(book)
+    pt_i, vel_i, td_i = _gather_start(book, start)
+    inv_dep = jnp.where(gate & (jnp.abs(book.inv_depth) > 1e-4),
+                        book.inv_depth, 1.0)
+
+    j_idx = jnp.arange(F)
+    mask_mono = gate[:, None] & book.obs & (j_idx[None, :] != start[:, None])
+    mask_cross = gate[:, None] & book.stereo & (j_idx[None, :] != start[:, None])
+    mask_static = gate & jnp.take_along_axis(book.stereo, start[:, None], 1)[:, 0]
+    mask = jnp.concatenate([mask_mono, mask_cross, mask_static[:, None]], 1)
+
+    # observation-side table (L, M, ...)
+    jidx = jnp.concatenate(
+        [jnp.broadcast_to(j_idx[None, :], (L, F)),
+         jnp.broadcast_to(j_idx[None, :], (L, F)), start[:, None]], axis=1)
+
+    def row_gather(a_l, a_r):           # (L, F, 2) obs arrays → (L, M, 2)
+        st_obs = jnp.take_along_axis(
+            a_r, jnp.broadcast_to(start[:, None, None], (L, 1, 2)), 1)
+        return jnp.concatenate([a_l, a_r, st_obs], axis=1)
+
+    pt_j = row_gather(book.un, book.un_r)
+    vel_j = row_gather(book.vel, book.vel_r)
+    td_j = jnp.concatenate(
+        [book.td_obs, book.td_obs,
+         jnp.take_along_axis(book.td_obs, start[:, None], 1)], axis=1)
+
+    # pose/extrinsic-side table.  jidx is structured (arange, arange,
+    # start), so frame-j states come from broadcasts + the L-sized start
+    # gather — an (L, M)-sized gather costs ~0.4 ms/iteration at B=8 on TPU.
+    P_st, Q_st = state.P[start], state.Q[start]
+    Pi = jnp.broadcast_to(P_st[:, None], (L, M, 3))
+    Qi = jnp.broadcast_to(Q_st[:, None], (L, M, 4))
+
+    def j_table(allf, st_val):
+        grid = jnp.broadcast_to(allf[None, :], (L, F) + allf.shape[1:])
+        return jnp.concatenate([grid, grid, st_val[:, None]], axis=1)
+
+    Pj = j_table(state.P, P_st)
+    Qj = j_table(state.Q, Q_st)
+    is_mono = jnp.arange(M) < F
+    is_static = jnp.arange(M) == 2 * F
+    ex1_idx = jnp.where(is_mono, exl, exr)       # (M,)
+    ex_p0 = jnp.broadcast_to(state.ex_p[exl], (L, M, 3))
+    ex_q0 = jnp.broadcast_to(state.ex_q[exl], (L, M, 4))
+    ex_p1 = jnp.broadcast_to(state.ex_p[ex1_idx][None], (L, M, 3))
+    ex_q1 = jnp.broadcast_to(state.ex_q[ex1_idx][None], (L, M, 4))
+
+    lam = jnp.broadcast_to(inv_dep[:, None], (L, M))
+    pti = jnp.broadcast_to(pt_i[:, None], (L, M, 2))
+    vli = jnp.broadcast_to(vel_i[:, None], (L, M, 2))
+    tdi = jnp.broadcast_to(td_i[:, None], (L, M))
+
+    r, J = jax.vmap(jax.vmap(
+        lambda *a: factors.proj22_jac(*a)
+    ))(Pi, Qi, Pj, Qj, ex_p0, ex_q0, ex_p1, ex_q1, lam,
+       jnp.broadcast_to(state.td, (L, M)), pti, vli, tdi, pt_j, vel_j, td_j)
+
+    # Cauchy IRLS weights on the weighted residual (Ceres loss semantics)
+    w = factors.cauchy_weight(jnp.sum(r * r, -1), cauchy_c) \
+        * mask.astype(dtype)
+    r = r * w[..., None]
+    J = J * w[..., None, None]
+
+    # mono: fold ∂/∂ex1 into ∂/∂ex0 (shared extrinsic); static: pose blocks
+    # cancel exactly — zero them so the expansion stays bit-exact
+    m = is_mono.astype(dtype)[None, :, None, None]
+    s = is_static.astype(dtype)[None, :, None, None]
+    J = jnp.concatenate([
+        J[..., 0:12] * (1.0 - s),
+        J[..., 12:18] + m * J[..., 18:24],
+        J[..., 18:24] * (1.0 - m),
+        J[..., 24:26]], axis=-1)
+    return r, J, jidx, start
+
+
+def assemble_normal_reduced(state: WindowState, book_img: FeatureBook,
+                            book_evt: FeatureBook, preints: pre.Preintegrated,
+                            imu_valid, prior: Prior, g,
+                            cauchy_c: float = 1.0, prior_H=None,
+                            imu_sqrt=None):
+    """Normal equations in Schur-ready form: (Hpp, Hpl, hll, bp, bl, cost).
+
+    Same math as `assemble_normal_fast` (oracle-tested equal) but emits the
+    camera system Hpp (DIM_ALL²), the camera-landmark coupling Hpl
+    (DIM_ALL × L), the diagonal landmark block hll (L,) and the gradient —
+    never materializing the (C, C) Hessian.  Every block lands at a
+    statically-known offset, so the whole matrix is built with `jnp.block`
+    concatenations + 2 matmuls: zero scatters, zero read-modify-write
+    dynamic-slice chains.  That is what makes a B-way vmapped LM iteration
+    cost ~B× less than B sequential ones (VERDICT r3 #1): the r3 assembly's
+    ~40-op `add_sym` chain and IMU scatter serialized under vmap.
+    """
+    dtype = state.P.dtype
+    L_img = book_img.un.shape[0]
+    L_evt = book_evt.un.shape[0]
+    L_tot = L_img + L_evt
+    F = N_STATES
+
+    # ---- IMU factors (banded JᵀJ via constant one-hot matmuls) ------------
+    if imu_sqrt is None:
+        imu_sqrt = factors.imu_sqrt_info(preints.covariance)
+    Pi_, Pj_ = state.P[:-1], state.P[1:]
+    Qi_, Qj_ = state.Q[:-1], state.Q[1:]
+    Vi_, Vj_ = state.V[:-1], state.V[1:]
+    Bai_, Baj_ = state.Ba[:-1], state.Ba[1:]
+    Bgi_, Bgj_ = state.Bg[:-1], state.Bg[1:]
+    r_imu, J_imu = jax.vmap(
+        lambda *a: factors.imu_residual_jac(*a[:-1], g, a[-1])
+    )(Pi_, Qi_, Vi_, Bai_, Bgi_, Pj_, Qj_, Vj_, Baj_, Bgj_, preints, imu_sqrt)
+    mw = imu_valid[:, None].astype(dtype)
+    r_imu = r_imu * mw
+    J_imu = J_imu * mw[:, :, None]
+    E = _imu_onehot(dtype)                            # (10, 30, 190)
+    Hi = jnp.einsum("nak,nal->nkl", J_imu, J_imu)     # (10, 30, 30)
+    H_imu = jnp.einsum("nka,nkl,nlb->ab", E, Hi, E)
+    b_imu = jnp.einsum("nka,nk->a", E,
+                       jnp.einsum("nak,na->nk", J_imu, r_imu))
+    cost = jnp.sum(r_imu * r_imu)
+
+    # ---- projection factors: one unified table across both books ----------
+    # (img book rides ex slots (0, 2), event book (1, 3) — estimator.cpp
+    # para_Ex_Pose ordering); lanes concatenate so landmark columns are
+    # globally [img | evt] as everywhere else in the solver.
+    ri, Ji, jidx_i, st_i = _proj_factor_table(state, book_img, 0, 2, cauchy_c)
+    re_, Je, jidx_e, st_e = _proj_factor_table(state, book_evt, 1, 3, cauchy_c)
+    M = 2 * F + 1
+    r_all = jnp.concatenate([ri, re_], 0)             # (Lt, M, 2)
+    J_all = jnp.concatenate([Ji, Je], 0)              # (Lt, M, 2, 26)
+    jidx = jnp.concatenate([jidx_i, jidx_e], 0)       # (Lt, M)
+    start_all = jnp.concatenate([st_i, st_e], 0)      # (Lt,)
+
+    # expansion to dense [pose 66 | ex 24 | td 1] = 91 columns via one-hots
+    Oi = jax.nn.one_hot(start_all, F, dtype=dtype)    # (Lt, 11)
+    Oj = jax.nn.one_hot(jidx, F, dtype=dtype)         # (Lt, M, 11)
+    is_mono = (jnp.arange(M) < F)
+    exl_slot = jnp.concatenate([jnp.zeros(L_img, jnp.int32),
+                                jnp.ones(L_evt, jnp.int32)])        # 0 | 1
+    exr_slot = exl_slot + 2                                         # 2 | 3
+    Oex0 = jax.nn.one_hot(exl_slot, N_EX, dtype=dtype)              # (Lt, 4)
+    Oex1 = jax.nn.one_hot(
+        jnp.where(is_mono[None, :], exl_slot[:, None], exr_slot[:, None]),
+        N_EX, dtype=dtype)                                          # (Lt, M, 4)
+
+    Jpose = (jnp.einsum("li,lmra->lmria", Oi, J_all[..., 0:6])
+             .reshape(L_tot, M, 2, 66)
+             + jnp.einsum("lmi,lmra->lmria", Oj, J_all[..., 6:12])
+             .reshape(L_tot, M, 2, 66))
+    Jex = (jnp.einsum("le,lmra->lmrea", Oex0, J_all[..., 12:18])
+           .reshape(L_tot, M, 2, 24)
+           + jnp.einsum("lme,lmra->lmrea", Oex1, J_all[..., 18:24])
+           .reshape(L_tot, M, 2, 24))
+    Jd = jnp.concatenate([Jpose, Jex, J_all[..., 25:26]], axis=-1)  # 91 cols
+    Jlam = J_all[..., 24]                              # (Lt, M, 2)
+
+    # one MXU matmul for the camera-camera block; small einsums for the rest
+    Jx = Jd.reshape(-1, 91)
+    H91 = Jx.T @ Jx
+    b91 = Jx.T @ r_all.reshape(-1)
+    Hlam91 = jnp.einsum("lmra,lmr->al", Jd, Jlam)      # (91, Lt)
+    hll = jnp.einsum("lmr,lmr->l", Jlam, Jlam)
+    bl = jnp.einsum("lmr,lmr->l", Jlam, r_all)
+    cost = cost + jnp.sum(r_all * r_all)
+
+    # ---- place the 91-wide system into the DIM_ALL layout -----------------
+    # (pose → 0, ex → OFF_EX, td → OFF_TD; the 99 speed-bias columns between
+    # are IMU/prior-only).  Zero-pad embeds fuse into one add kernel.
+    def emb(blk, r0, c0, rows=DIM_ALL, colsN=DIM_ALL):
+        return jnp.pad(blk, ((r0, rows - r0 - blk.shape[0]),
+                             (c0, colsN - c0 - blk.shape[1])))
+
+    def emb1(v, o, n=DIM_ALL):
+        return jnp.pad(v, (o, n - o - v.shape[0]))
+
+    secs = ((0, 0, 66), (66, OFF_EX, 24), (90, OFF_TD, 1))
+    J0w = prior.J0 * prior.valid.astype(dtype)
+    if prior_H is None:
+        prior_H = J0w.T @ J0w
+    r_prior = (prior.r0 + prior.J0 @ state_minus(state, prior.lin)) \
+        * prior.valid.astype(dtype)
+
+    Hpp = H_imu + prior_H + sum(
+        emb(H91[a:a + n, b:b + m], ra, rb)
+        for (a, ra, n) in secs for (b, rb, m) in secs)
+    Hpl = sum(emb(Hlam91[a:a + n, :], ra, 0, colsN=L_tot)
+              for (a, ra, n) in secs)
+    bp = (b_imu + J0w.T @ r_prior
+          + sum(emb1(b91[a:a + n], ra) for (a, ra, n) in secs))
+    cost = cost + jnp.sum(r_prior * r_prior)
+    return Hpp, Hpl, hll, bp, bl, cost
+
+
 def problem_cost(state: WindowState, book_img: FeatureBook,
                  book_evt: FeatureBook, preints: pre.Preintegrated,
                  imu_valid, prior: Prior, g, cauchy_c: float = 1.0):
@@ -623,43 +861,43 @@ def solve_window(state: WindowState, book_img: FeatureBook, book_evt: FeatureBoo
     L_img = book_img.un.shape[0]
     J0w = prior.J0 * prior.valid.astype(dtype)
     prior_H0 = J0w.T @ J0w            # constant across iterations
+    imu_sqrt0 = factors.imu_sqrt_info(preints.covariance)   # hoisted
 
     def assemble(st, bi, be):
-        return assemble_normal_fast(
+        return assemble_normal_reduced(
             st, bi, be, preints, imu_valid, prior, g, cauchy_c,
-            prior_H=prior_H0)
+            prior_H=prior_H0, imu_sqrt=imu_sqrt0)
 
     # Deferred-acceptance LM: the normal equations at the CURRENT accepted
     # state ride in the scan carry; each iteration proposes a step from them
     # and runs exactly ONE assembly (at the proposed state), whose cost IS
-    # the accept test and whose (H, b) become the next carry on acceptance.
+    # the accept test and whose system becomes the next carry on acceptance.
     # Identical accept decisions and iterates to the classic
     # assemble-then-re-evaluate loop, minus the per-iteration residual pass
     # (VERDICT r2 #3: fold the accept-test cost into the next assembly).
-    H0, b0, cost0 = assemble(state, book_img, book_evt)
+    sys0 = assemble(state, book_img, book_evt)
 
     def step(carry, _):
-        st, bi, be, H_raw, b_raw, cost2, lam_damp = carry
+        st, bi, be, (Hpp_r, Hpl_r, hll_r, bp_r, bl_r, cost2), lam_damp = carry
 
         # Jacobi column scaling (Ceres-style): the raw system mixes bias-walk
         # weights (~1e5) with vision (~3e2) — cond(H) up to 1e40.  Scaling
         # columns to unit norm makes the reduced system solvable even in f32.
-        col_norm = jnp.sqrt(jnp.diagonal(H_raw))
+        col_norm = jnp.sqrt(jnp.concatenate([jnp.diagonal(Hpp_r), hll_r]))
         active_col = col_norm > 1e-10
         if frozen is not None:
             # zeroing the scale of a frozen column removes it from the system
             # (its delta comes out exactly 0) without changing any shapes
-            C = H_raw.shape[0]
-            active_col = active_col & ~jnp.pad(frozen, (0, C - DIM_ALL))
+            active_col = active_col & ~jnp.pad(frozen,
+                                               (0, hll_r.shape[0]))
         d_inv = jnp.where(active_col, 1.0 / jnp.where(active_col, col_norm, 1.0), 0.0)
-        H = H_raw * d_inv[None, :] * d_inv[:, None]
-        b = b_raw * d_inv
-
-        Hpp = H[:DIM_ALL, :DIM_ALL]
-        Hpl = H[:DIM_ALL, DIM_ALL:]
-        hll = jnp.diagonal(H)[DIM_ALL:]          # ≈ 1 for active landmarks
-        bp = b[:DIM_ALL]
-        bl = b[DIM_ALL:]
+        dp_i = d_inv[:DIM_ALL]
+        dl_i = d_inv[DIM_ALL:]
+        Hpp = Hpp_r * dp_i[None, :] * dp_i[:, None]
+        Hpl = Hpl_r * dp_i[:, None] * dl_i[None, :]
+        hll = hll_r * dl_i * dl_i                # ≈ 1 for active landmarks
+        bp = bp_r * dp_i
+        bl = bl_r * dl_i
 
         active_lm = hll > 0.5
         inv_hll = jnp.where(active_lm, 1.0 / jnp.where(active_lm, hll, 1.0), 0.0)
@@ -669,28 +907,27 @@ def solve_window(state: WindowState, book_img: FeatureBook, book_evt: FeatureBoo
 
         dxp_s, finite = reduced_solve(Hr, br, lam_damp, method)
         dlam_s = -(bl + Hpl.T @ dxp_s) * inv_hll * finite.astype(dtype)
-        dxp = dxp_s * d_inv[:DIM_ALL]
-        dlam = dlam_s * d_inv[DIM_ALL:]
+        dxp = dxp_s * dp_i
+        dlam = dlam_s * dl_i
 
         st_new = apply_delta(st, dxp)
         bi_new, be_new = _merge_books_depth(bi, be, dlam, L_img)
 
-        H_new, b_new, cost_new = assemble(st_new, bi_new, be_new)
+        sys_new = assemble(st_new, bi_new, be_new)
+        cost_new = sys_new[5]
         accept = 0.5 * cost_new < 0.5 * cost2
         sel = lambda a, b_: jnp.where(accept, b_, a)
         st = jax.tree_util.tree_map(sel, st, st_new)
         bi = jax.tree_util.tree_map(sel, bi, bi_new)
         be = jax.tree_util.tree_map(sel, be, be_new)
-        H_raw = jnp.where(accept, H_new, H_raw)
-        b_raw = jnp.where(accept, b_new, b_raw)
-        cost2 = jnp.where(accept, cost_new, cost2)
+        sys_acc = tuple(jnp.where(accept, n, o) for o, n in
+                        zip((Hpp_r, Hpl_r, hll_r, bp_r, bl_r, cost2), sys_new))
         lam_damp = jnp.where(accept, jnp.maximum(lam_damp / 10.0, lam_floor),
                              jnp.minimum(lam_damp * 100.0, 1e4))
-        return (st, bi, be, H_raw, b_raw, cost2, lam_damp), 0.5 * cost_new
+        return (st, bi, be, sys_acc, lam_damp), 0.5 * cost_new
 
     lam0, lam_floor = damping_schedule(dtype)
-    init = (state, book_img, book_evt, H0, b0, cost0,
-            jnp.asarray(lam0, dtype))
+    init = (state, book_img, book_evt, sys0, jnp.asarray(lam0, dtype))
     (state, book_img, book_evt, *_), costs = jax.lax.scan(
         step, init, None, length=iters)
     return state, book_img, book_evt, costs
