@@ -821,6 +821,16 @@ def reduced_solve(Hr, br, lam_damp, method: str = "chol"):
         dx = -(V * w_inv[None, :]) @ (V.T @ br)
         return dx, jnp.asarray(True)
     n = Hr.shape[0]
+    if dtype == jnp.float32 and n == DIM_ALL:
+        from esvio_tpu.solver import chol_pallas
+        impl = chol_pallas._impl()
+        if impl in ("pallas", "interpret"):
+            # fused VMEM Cholesky+solve kernel (batch-aware under vmap) —
+            # hardware-parity-tested, tests/test_chol_pallas.py
+            dx = -chol_pallas.chol_solve(Hr, br,
+                                         jnp.asarray(lam_damp, dtype))
+            finite = jnp.all(jnp.isfinite(dx))
+            return jnp.where(finite, dx, 0.0), finite
     L = jnp.linalg.cholesky(Hr + lam_damp * jnp.eye(n, dtype=dtype))
     y = jax.scipy.linalg.solve_triangular(L, br, lower=True)
     dx = -jax.scipy.linalg.solve_triangular(L.T, y, lower=False)

@@ -13,12 +13,19 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# ESVIO_TEST_BACKEND=tpu runs the suite against the real chip instead —
+# used by tools/tpu_gate.sh for the Pallas hardware-parity tests (interpret
+# mode alone is not trusted, VERDICT r3)
+_backend = os.environ.get("ESVIO_TEST_BACKEND", "cpu")
+if _backend == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if _backend == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+if _backend == "cpu":
+    jax.config.update("jax_enable_x64", True)
 # persistent compile cache: the suite is dominated by XLA compiles of the
 # solver/marginalization graphs; repeat runs hit the cache
 jax.config.update("jax_compilation_cache_dir",
@@ -37,8 +44,9 @@ jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 import numpy as np
 import pytest
 
-assert jax.default_backend() == "cpu", jax.default_backend()
-assert jax.device_count() == 8, jax.devices()
+if _backend == "cpu":
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    assert jax.device_count() == 8, jax.devices()
 
 
 @pytest.fixture
