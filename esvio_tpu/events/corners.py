@@ -141,14 +141,14 @@ def corner_mask(state: SAEState, impl: str = "auto"):
     xla elsewhere; override with ESVIO_CORNER_IMPL)."""
     import os
     if impl == "auto":
-        # "auto" = xla.  Measured on the real chip (r3): the pallas kernel
-        # is no faster than the rolled-plane XLA path (2.2 ms both at
-        # 2×260×346) and DISAGREES with it on hardware (13 vs 2587 corners
-        # on a random SAE — parity holds only in CPU interpret mode, so the
-        # tile indexing is wrong on real TPU).  Until that is root-caused
-        # the product path is the oracle-tested XLA kernel; opt back in with
-        # ESVIO_CORNER_IMPL=pallas.
-        impl = os.environ.get("ESVIO_CORNER_IMPL", "xla")
+        # r4 root-cause of the r3 "pallas is wrong on hardware" finding: the
+        # two paths differ ONLY in the 4-pixel border (xla's jnp.roll wraps
+        # around, pallas zero-pads; both are garbage there and the border
+        # gate in detect_corners excludes them).  Interior agreement on the
+        # real chip is exact (tests/test_corners_pallas.py hardware gate),
+        # so "auto" routes to the VMEM-tiled kernel on TPU.
+        default = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = os.environ.get("ESVIO_CORNER_IMPL", default)
     if impl == "pallas":
         from esvio_tpu.events import corners_pallas
         return corners_pallas.corner_mask_pallas(state.sae)
@@ -193,7 +193,10 @@ def detect_corners(state: SAEState, chunk: EventChunk, min_dist: int = 10):
         (chunk.x >= border) & (chunk.x < W - border)
         & (chunk.y >= border) & (chunk.y < H - border)
     )
-    table = accept_table(state).reshape(-1)
-    idx = chunk.p * (H * W) + jnp.clip(chunk.y, 0, H - 1) * W \
-        + jnp.clip(chunk.x, 0, W - 1)
-    return table[idx] & in_border & chunk.valid
+    # row gather (both polarities per event) — ~50× cheaper than an element
+    # gather on TPU (see update_sae); lane select by polarity afterwards
+    table = accept_table(state).reshape(2, H * W).T            # (HW, 2)
+    idx = jnp.clip(chunk.y, 0, H - 1) * W + jnp.clip(chunk.x, 0, W - 1)
+    rows = table[idx]                                          # (E, 2)
+    hit = jnp.where(chunk.p == 1, rows[:, 1], rows[:, 0])
+    return hit & in_border & chunk.valid

@@ -130,11 +130,15 @@ def update_sae(state: SAEState, chunk: EventChunk, filter_threshold: float,
                return_accepted: bool = False) -> Tuple[SAEState, jnp.ndarray]:
     """Apply one event chunk to the SAE.  Returns (new_state, accepted_mask).
 
-    All per-event work happens in the pixel-sorted domain: the scatter-max
-    updates are order-independent, so the inverse permutation back to chunk
-    order (a second full-size scatter + two gathers) is only materialized
-    when `return_accepted` is requested (downstream consumers use the dense
-    tables, not the per-event mask)."""
+    All per-event work happens in the pixel-sorted domain.  The dense-table
+    interaction is organized around a TPU quirk (measured r4): a gather of
+    multi-element ROWS costs ~50× less than element gathers (0.016 vs
+    0.73 ms for 131k offsets), and scatter-SET beats scatter-max.  So both
+    tables ride as one (H·W, 4) row matrix [latest⁻, latest⁺, filt⁻, filt⁺]:
+    ONE row gather fetches all carried values, and ONE row scatter-set at
+    the pixel-segment ENDS (where the chunk-inclusive maxima live) writes
+    them back — replacing the r3 path's two element gathers + two
+    scatter-maxes (~2.6 ms → ~1.1 ms per 131k chunk)."""
     H, W = state.sae.shape[1:]
     HW = H * W
     E = chunk.t.shape[0]
@@ -157,8 +161,13 @@ def update_sae(state: SAEState, chunk: EventChunk, filter_threshold: float,
     prev_pos, prev_neg = _segmented_exclusive_max2(val_pos, val_neg, seg_start)
 
     safe_pix = jnp.minimum(pix_s, HW - 1)
-    prev_pos = jnp.maximum(prev_pos, state.sae_latest[1].reshape(-1)[safe_pix])
-    prev_neg = jnp.maximum(prev_neg, state.sae_latest[0].reshape(-1)[safe_pix])
+    # one row gather: carried [latest⁻, latest⁺, filt⁻, filt⁺] per event
+    tables = jnp.concatenate([
+        state.sae_latest.reshape(2, HW).T,
+        state.sae.reshape(2, HW).T], axis=1)                  # (HW, 4)
+    carried = tables[safe_pix]                                # (E, 4)
+    prev_pos = jnp.maximum(prev_pos, carried[:, 1])
+    prev_neg = jnp.maximum(prev_neg, carried[:, 0])
     prev_same = jnp.where(p_s == 1, prev_pos, prev_neg)
     prev_inv = jnp.where(p_s == 1, prev_neg, prev_pos)
 
@@ -166,21 +175,34 @@ def update_sae(state: SAEState, chunk: EventChunk, filter_threshold: float,
     accepted_s = ((t_s > prev_same + filter_threshold)
                   | (prev_inv > prev_same)) & valid_s
 
-    flat_s = p_s * HW + safe_pix
-    t_all = jnp.where(valid_s, t_s, _NEG)
-    latest = state.sae_latest.reshape(-1).at[flat_s].max(t_all, mode="drop")
-    t_acc = jnp.where(accepted_s, t_s, _NEG)
-    filtered = state.sae.reshape(-1).at[flat_s].max(t_acc, mode="drop")
+    # chunk-inclusive maxima of the ACCEPTED times per pixel segment
+    acc_pos = jnp.where(accepted_s & (p_s == 1), t_s, _NEG)
+    acc_neg = jnp.where(accepted_s & (p_s == 0), t_s, _NEG)
+    inc_acc_pos, inc_acc_neg = _segmented_exclusive_max2(
+        acc_pos, acc_neg, seg_start)
+    inc_acc_pos = jnp.maximum(inc_acc_pos, acc_pos)
+    inc_acc_neg = jnp.maximum(inc_acc_neg, acc_neg)
+
+    # at each segment END: full new table row for that pixel
+    new_rows = jnp.stack([
+        jnp.maximum(prev_neg, val_neg),          # inclusive latest⁻ + carried
+        jnp.maximum(prev_pos, val_pos),
+        jnp.maximum(carried[:, 2], inc_acc_neg),
+        jnp.maximum(carried[:, 3], inc_acc_pos),
+    ], axis=1)
+    seg_end = jnp.concatenate([pix_s[1:] != pix_s[:-1],
+                               jnp.ones((1,), bool)])
+    write_idx = jnp.where(seg_end & valid_s, safe_pix, HW)    # HW → dropped
+    tables = tables.at[write_idx].set(new_rows, mode="drop")
+
+    latest = tables[:, 0:2].T.reshape(2, H, W)
+    filtered = tables[:, 2:4].T.reshape(2, H, W)
 
     if return_accepted:
         accepted = jnp.zeros((E,), bool).at[order].set(accepted_s)
     else:
         accepted = accepted_s  # sorted order; callers above ignore it
-    return (
-        SAEState(sae=filtered.reshape(2, H, W),
-                 sae_latest=latest.reshape(2, H, W)),
-        accepted,
-    )
+    return SAEState(sae=filtered, sae_latest=latest), accepted
 
 
 def harvest_filter(state: SAEState, chunk: EventChunk) -> jnp.ndarray:
