@@ -250,3 +250,40 @@ def test_lk_parity_with_opencv(rng):
     assert np.median(err_us) < 0.5, np.median(err_us)
     assert np.median(err_us) <= np.median(err_cv) + 0.2, \
         (np.median(err_us), np.median(err_cv))
+
+def test_eight_point_qr_matches_svd(rng):
+    """Householder-QR null space + inverse-iteration rank-2 projection ==
+    the SVD formulation (r4: the (K,8,9) LAPACK SVD loop-serialized on TPU;
+    VERDICT r3 #3).  Checked on random well-posed 8-point configurations:
+    F agrees up to scale/sign and the rank-2 constraint holds."""
+    import numpy as np
+
+    for trial in range(20):
+        # genuine two-view geometry + noise so A has a clean 1-D null space
+        n = 8
+        X = rng.uniform(-1, 1, (n, 3)) + np.array([0, 0, 4.0])
+        R = np.eye(3)
+        t = np.array([0.3, -0.1, 0.05])
+        p1 = X[:, :2] / X[:, 2:]
+        Xc = X @ R.T + t
+        p2 = Xc[:, :2] / Xc[:, 2:]
+        p2 += rng.normal(0, 1e-3, p2.shape)
+        F_qr = np.array(ransac._eight_point(jnp.asarray(p1), jnp.asarray(p2)))
+
+        # SVD oracle
+        x1, y1 = p1[:, 0], p1[:, 1]
+        x2, y2 = p2[:, 0], p2[:, 1]
+        A = np.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2,
+                      x1, y1, np.ones_like(x1)], axis=-1)
+        _, _, vt = np.linalg.svd(A)
+        F = vt[-1].reshape(3, 3)
+        u, s, vt2 = np.linalg.svd(F)
+        F_svd = u @ np.diag([s[0], s[1], 0.0]) @ vt2
+
+        F_qr /= np.linalg.norm(F_qr)
+        F_svd /= np.linalg.norm(F_svd)
+        if np.sum(F_qr * F_svd) < 0:
+            F_qr = -F_qr
+        assert np.abs(F_qr - F_svd).max() < 1e-5, (trial, np.abs(F_qr - F_svd).max())
+        # rank-2 exactly enforced
+        assert np.abs(np.linalg.svd(F_qr, compute_uv=False)[2]) < 1e-6
