@@ -71,31 +71,32 @@ def make_sharded_solver(mesh, iters: int = 8, cauchy_c: float = 1.0,
         prior_local = dataclasses.replace(
             prior, valid=prior.valid & first)
         iv_local = imu_valid & first
-        H_raw, b_raw, cost2 = gn.assemble_normal_fast(
+        Hpp_r, Hpl_r, hll_r, bp_r, bl_r, cost2 = gn.assemble_normal_reduced(
             state, bi, be, preints, iv_local, prior_local, g, cauchy_c)
-        col_norm2 = jax.lax.psum(jnp.diagonal(H_raw)[:DIM_ALL], "lm")
-        col_norm = jnp.sqrt(jnp.concatenate(
-            [col_norm2, jnp.diagonal(H_raw)[DIM_ALL:]]))
-        active_col = col_norm > 1e-10
-        d_inv = jnp.where(active_col, 1.0 / jnp.where(active_col, col_norm, 1.0),
-                          0.0)
-        H = H_raw * d_inv[None, :] * d_inv[:, None]
-        b = b_raw * d_inv
-        Hpp = H[:DIM_ALL, :DIM_ALL]
-        Hpl = H[:DIM_ALL, DIM_ALL:]
-        hll = jnp.diagonal(H)[DIM_ALL:]
+        col_norm2 = jax.lax.psum(jnp.diagonal(Hpp_r), "lm")
+        col_p = jnp.sqrt(col_norm2)
+        col_l = jnp.sqrt(hll_r)
+        act_p = col_p > 1e-10
+        act_l = col_l > 1e-10
+        dp_i = jnp.where(act_p, 1.0 / jnp.where(act_p, col_p, 1.0), 0.0)
+        dl_i = jnp.where(act_l, 1.0 / jnp.where(act_l, col_l, 1.0), 0.0)
+        Hpp = Hpp_r * dp_i[None, :] * dp_i[:, None]
+        Hpl = Hpl_r * dp_i[:, None] * dl_i[None, :]
+        hll = hll_r * dl_i * dl_i
+        bp = bp_r * dp_i
+        bl = bl_r * dl_i
         active_lm = hll > 0.5
         inv_hll = jnp.where(active_lm, 1.0 / jnp.where(active_lm, hll, 1.0), 0.0)
 
         Hr_local = Hpp - (Hpl * inv_hll[None, :]) @ Hpl.T
-        br_local = b[:DIM_ALL] - Hpl @ (b[DIM_ALL:] * inv_hll)
+        br_local = bp - Hpl @ (bl * inv_hll)
         Hr = jax.lax.psum(Hr_local, "lm")
         br = jax.lax.psum(br_local, "lm")
 
         dxp_s, finite = gn.reduced_solve(Hr, br, lam_damp, method)
-        dlam_s = -(b[DIM_ALL:] + Hpl.T @ dxp_s) * inv_hll * finite.astype(dtype)
-        dxp = dxp_s * d_inv[:DIM_ALL]
-        dlam = dlam_s * d_inv[DIM_ALL:]
+        dlam_s = -(bl + Hpl.T @ dxp_s) * inv_hll * finite.astype(dtype)
+        dxp = dxp_s * dp_i
+        dlam = dlam_s * dl_i
 
         st_new = apply_delta(state, dxp)
         L_img = bi.un.shape[0]

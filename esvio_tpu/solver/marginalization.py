@@ -148,17 +148,16 @@ def marginalize_old(state: WindowState, book_img: FeatureBook,
     bi = restrict(book_img)
     be = restrict(book_evt)
     iv = jnp.zeros((WINDOW,), bool).at[0].set(imu_valid[0])
-    H, b, _ = gn.assemble_normal(state, bi, be, preints, iv, prior, g,
-                                 cauchy_c)
+    # Schur-ready structured assembly (r4) — the slab-path assemble_normal
+    # this replaces cost ~50× the FLOPs once per MARGIN_OLD tick
+    Hpp, Hpl, hll, bp, bl, _ = gn.assemble_normal_reduced(
+        state, bi, be, preints, iv, prior, g, cauchy_c)
 
     # eliminate landmarks (diagonal block)
-    Hpp = H[:DIM_ALL, :DIM_ALL]
-    Hpl = H[:DIM_ALL, DIM_ALL:]
-    hll = jnp.diagonal(H)[DIM_ALL:]
     act = hll > _EPS
     inv_hll = jnp.where(act, 1.0 / jnp.where(act, hll, 1.0), 0.0)
     A = Hpp - (Hpl * inv_hll[None, :]) @ Hpl.T
-    bb = b[:DIM_ALL] - Hpl @ (b[DIM_ALL:] * inv_hll)
+    bb = bp - Hpl @ (bl * inv_hll)
 
     # eliminate pose0 + speedbias0
     m_idx = _pose_cols(0) + _sb_cols(0)
