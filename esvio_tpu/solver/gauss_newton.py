@@ -941,3 +941,175 @@ def solve_window(state: WindowState, book_img: FeatureBook, book_evt: FeatureBoo
     (state, book_img, book_evt, *_), costs = jax.lax.scan(
         step, init, None, length=iters)
     return state, book_img, book_evt, costs
+
+
+# --------------------------------------------------------------------------
+# In-window fast relocalization (VERDICT r3 #7)
+# --------------------------------------------------------------------------
+
+DIM_RELO = DIM_ALL + 6      # window params + the relo pose block
+
+
+def _relo_family(state: WindowState, book: FeatureBook, exl: int,
+                 relo_P, relo_Q, relo_obs, relo_lane, relo_valid,
+                 cauchy_c: float):
+    """Relo projection rows: window landmark (lane) reprojected into the old
+    keyframe at the relo pose — the reference's extra ProjectionFactor rows
+    with relo_Pose as the j-side parameter block
+    (estimator.cpp:1988-2022).  Robust (Cauchy) like the window rows, so
+    outlier matches are down-weighted instead of dragging the joint solve.
+
+    relo_obs: (Lr, 2) normalized obs in the old KF; relo_lane: (Lr,) lane
+    index into `book` (-1 = empty slot); relo_valid: (Lr,) bool.
+    Returns (r (Lr, 2), Jd (Lr, 2, DIM_RELO), Jlam (Lr, 2), lane (Lr,)).
+    """
+    dtype = state.P.dtype
+    L = book.un.shape[0]
+    Lr = relo_lane.shape[0]
+    gate_book = _book_gate(book)
+    start_all = start_frame(book)
+    lane = jnp.clip(relo_lane, 0, L - 1)
+    gate = gate_book[lane] & relo_valid & (relo_lane >= 0)
+    start = start_all[lane]
+    pt_i_all, vel_i_all, td_i_all = _gather_start(book, start_all)
+    pt_i, vel_i, td_i = pt_i_all[lane], vel_i_all[lane], td_i_all[lane]
+    inv_all = jnp.where(gate_book & (jnp.abs(book.inv_depth) > 1e-4),
+                        book.inv_depth, 1.0)
+    lam = inv_all[lane]
+
+    Pi, Qi = state.P[start], state.Q[start]
+    exp_ = jnp.broadcast_to(state.ex_p[exl], (Lr, 3))
+    exq_ = jnp.broadcast_to(state.ex_q[exl], (Lr, 4))
+    rP = jnp.broadcast_to(relo_P, (Lr, 3))
+    rQ = jnp.broadcast_to(relo_Q, (Lr, 4))
+    zero_vel = jnp.zeros_like(relo_obs)
+
+    # plain ProjectionFactor semantics: vel_j = 0, td_j = td_i ⇒ the old-KF
+    # observation is not td-compensated (projection_factor.cpp has no td)
+    r, J = jax.vmap(factors.proj22_jac)(
+        Pi, Qi, rP, rQ, exp_, exq_, exp_, exq_, lam,
+        jnp.broadcast_to(state.td, (Lr,)), pt_i, vel_i, td_i,
+        relo_obs, zero_vel, td_i)
+
+    w = factors.cauchy_weight(jnp.sum(r * r, -1), cauchy_c) \
+        * gate.astype(dtype)
+    r = r * w[:, None]
+    J = J * w[:, None, None]
+
+    # dense extended-layout expansion [pose 66 | sb 99 | ex 24 | td | relo 6]
+    Oi = jax.nn.one_hot(start, N_STATES, dtype=dtype)
+    Jpi = jnp.einsum("li,lra->lria", Oi, J[..., 0:6]).reshape(Lr, 2, 66)
+    Jex6 = J[..., 12:18] + J[..., 18:24]          # shared extrinsic (i = j cam)
+    Jex = jnp.pad(Jex6, ((0, 0), (0, 0), (exl * 6, 24 - exl * 6 - 6)))
+    Jd = jnp.concatenate([
+        Jpi, jnp.zeros((Lr, 2, OFF_EX - OFF_SB), dtype), Jex,
+        J[..., 25:26], J[..., 6:12]], axis=-1)     # (Lr, 2, DIM_RELO)
+    return r, Jd, J[..., 24], lane
+
+
+def relo_residuals(state: WindowState, book: FeatureBook, exl: int,
+                   relo_P, relo_Q, relo_obs, relo_lane, relo_valid):
+    """Unweighted relo reprojection residuals (for inlier gating)."""
+    r, _, _, _ = _relo_family(state, book, exl, relo_P, relo_Q, relo_obs,
+                              relo_lane, relo_valid, cauchy_c=1e9)
+    return r
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "cauchy_c", "method",
+                                             "relo_book"))
+def solve_window_relo(state: WindowState, book_img: FeatureBook,
+                      book_evt: FeatureBook, preints: pre.Preintegrated,
+                      imu_valid, prior: Prior, g,
+                      relo_P, relo_Q, relo_obs, relo_lane, relo_valid,
+                      relo_book: str = "evt", iters: int = 8,
+                      cauchy_c: float = 1.0, frozen=None,
+                      method: str = "chol"):
+    """solve_window + the in-window relo pose block (estimator.cpp:1988-2022):
+    the old keyframe's pose is a 7th..(+6-dim) parameter block jointly
+    refined against IMU + vision + the robust relo rows.  Returns
+    (state', book_img', book_evt', costs, relo_P', relo_Q')."""
+    dtype = state.P.dtype
+    L_img = book_img.un.shape[0]
+    L_evt = book_evt.un.shape[0]
+    L_tot = L_img + L_evt
+    exl = 0 if relo_book == "img" else 1
+    lm_base = 0 if relo_book == "img" else L_img
+    J0w = prior.J0 * prior.valid.astype(dtype)
+    prior_H0 = J0w.T @ J0w
+    imu_sqrt0 = factors.imu_sqrt_info(preints.covariance)
+
+    def assemble(st, bi, be, rP, rQ):
+        Hpp, Hpl, hll, bp, bl, cost = assemble_normal_reduced(
+            st, bi, be, preints, imu_valid, prior, g, cauchy_c,
+            prior_H=prior_H0, imu_sqrt=imu_sqrt0)
+        book = bi if relo_book == "img" else be
+        r, Jd, Jlam, lane = _relo_family(
+            st, book, exl, rP, rQ, relo_obs, relo_lane, relo_valid, cauchy_c)
+        Jx = Jd.reshape(-1, DIM_RELO)
+        HppX = jnp.pad(Hpp, ((0, 6), (0, 6))) + Jx.T @ Jx
+        bpX = jnp.pad(bp, (0, 6)) + Jx.T @ r.reshape(-1)
+        # λ couplings of the relo rows (scatter-add on ≤Lr unique lanes)
+        Hcl = jnp.einsum("lra,lr->la", Jd, Jlam)          # (Lr, DIM_RELO)
+        HplX = jnp.pad(Hpl, ((0, 6), (0, 0))).at[:, lm_base + lane].add(Hcl.T)
+        hllX = hll.at[lm_base + lane].add(jnp.einsum("lr,lr->l", Jlam, Jlam))
+        blX = bl.at[lm_base + lane].add(jnp.einsum("lr,lr->l", Jlam, r))
+        cost = cost + jnp.sum(r * r)
+        return HppX, HplX, hllX, bpX, blX, cost
+
+    sys0 = assemble(state, book_img, book_evt, relo_P, relo_Q)
+
+    def step(carry, _):
+        st, bi, be, rP, rQ, (Hpp_r, Hpl_r, hll_r, bp_r, bl_r, cost2), \
+            lam_damp = carry
+        col_norm = jnp.sqrt(jnp.concatenate([jnp.diagonal(Hpp_r), hll_r]))
+        active_col = col_norm > 1e-10
+        if frozen is not None:
+            frozen_x = jnp.pad(frozen, (0, 6 + hll_r.shape[0]))
+            active_col = active_col & ~frozen_x
+        d_inv = jnp.where(active_col,
+                          1.0 / jnp.where(active_col, col_norm, 1.0), 0.0)
+        dp_i = d_inv[:DIM_RELO]
+        dl_i = d_inv[DIM_RELO:]
+        Hpp = Hpp_r * dp_i[None, :] * dp_i[:, None]
+        Hpl = Hpl_r * dp_i[:, None] * dl_i[None, :]
+        hll = hll_r * dl_i * dl_i
+        bp = bp_r * dp_i
+        bl = bl_r * dl_i
+        active_lm = hll > 0.5
+        inv_hll = jnp.where(active_lm,
+                            1.0 / jnp.where(active_lm, hll, 1.0), 0.0)
+        Hr = Hpp - (Hpl * inv_hll[None, :]) @ Hpl.T
+        br = bp - Hpl @ (bl * inv_hll)
+        dxp_s, finite = reduced_solve(Hr, br, lam_damp, method)
+        dlam_s = -(bl + Hpl.T @ dxp_s) * inv_hll * finite.astype(dtype)
+        dxp = dxp_s * dp_i
+        dlam = dlam_s * dl_i
+
+        st_new = apply_delta(st, dxp[:DIM_ALL])
+        from esvio_tpu.core import lie
+        rP_new = rP + dxp[DIM_ALL:DIM_ALL + 3]
+        rQ_new = lie.quat_normalize(lie.quat_mul(
+            rQ, lie.delta_q(dxp[DIM_ALL + 3:DIM_ALL + 6])))
+        bi_new, be_new = _merge_books_depth(bi, be, dlam, L_img)
+
+        sys_new = assemble(st_new, bi_new, be_new, rP_new, rQ_new)
+        cost_new = sys_new[5]
+        accept = 0.5 * cost_new < 0.5 * cost2
+        sel = lambda a, b_: jnp.where(accept, b_, a)
+        st = jax.tree_util.tree_map(sel, st, st_new)
+        bi = jax.tree_util.tree_map(sel, bi, bi_new)
+        be = jax.tree_util.tree_map(sel, be, be_new)
+        rP = jnp.where(accept, rP_new, rP)
+        rQ = jnp.where(accept, rQ_new, rQ)
+        sys_acc = tuple(jnp.where(accept, n, o) for o, n in
+                        zip((Hpp_r, Hpl_r, hll_r, bp_r, bl_r, cost2), sys_new))
+        lam_damp = jnp.where(accept, jnp.maximum(lam_damp / 10.0, lam_floor),
+                             jnp.minimum(lam_damp * 100.0, 1e4))
+        return (st, bi, be, rP, rQ, sys_acc, lam_damp), 0.5 * cost_new
+
+    lam0, lam_floor = damping_schedule(dtype)
+    init = (state, book_img, book_evt, jnp.asarray(relo_P, dtype),
+            jnp.asarray(relo_Q, dtype), sys0, jnp.asarray(lam0, dtype))
+    (state, book_img, book_evt, relo_P, relo_Q, *_), costs = jax.lax.scan(
+        step, init, None, length=iters)
+    return state, book_img, book_evt, costs, relo_P, relo_Q

@@ -134,13 +134,11 @@ def used_num(book: FeatureBook):
     return jnp.sum(book.obs, axis=1).astype(jnp.int32)
 
 
-def gauge_fix(state: WindowState, ref_p0, ref_q0) -> WindowState:
-    """Rotate/translate the whole window so frame 0 keeps its pre-solve yaw
-    and position (stereo_double2vector3, estimator.cpp:1600-1697).
-
-    Pitch/roll are observable (gravity) and untouched; only the yaw difference
-    and the frame-0 position shift are removed.
-    """
+def gauge_transform(state: WindowState, ref_p0, ref_q0):
+    """(rot, q_rot, p0) of the gauge correction: any pose in the solved frame
+    maps as P' = rot @ (P − p0) + ref_p0, Q' = q_rot ⊗ Q.  Shared by
+    gauge_fix and the relo-pose correction (the reference applies the same
+    yaw/position shift to relo_Pose, estimator.cpp:1652-1695)."""
     ypr_ref = lie.rot_to_ypr(lie.quat_to_rot(ref_q0))
     ypr_cur = lie.rot_to_ypr(lie.quat_to_rot(state.Q[0]))
     ydiff = ypr_ref[0] - ypr_cur[0]
@@ -150,9 +148,18 @@ def gauge_fix(state: WindowState, ref_p0, ref_q0) -> WindowState:
     singular = (jnp.abs(ypr_cur[1]) > 89.0) | (jnp.abs(ypr_ref[1]) > 89.0)
     rot_full = lie.quat_to_rot(ref_q0) @ lie.quat_to_rot(state.Q[0]).T
     rot = jnp.where(singular, rot_full, rot)
-    q_rot = lie.rot_to_quat(rot)
+    return rot, lie.rot_to_quat(rot), state.P[0]
 
-    P = (state.P - state.P[0]) @ rot.T + ref_p0
+
+def gauge_fix(state: WindowState, ref_p0, ref_q0) -> WindowState:
+    """Rotate/translate the whole window so frame 0 keeps its pre-solve yaw
+    and position (stereo_double2vector3, estimator.cpp:1600-1697).
+
+    Pitch/roll are observable (gravity) and untouched; only the yaw difference
+    and the frame-0 position shift are removed.
+    """
+    rot, q_rot, p0 = gauge_transform(state, ref_p0, ref_q0)
+    P = (state.P - p0) @ rot.T + ref_p0
     Q = lie.quat_normalize(lie.quat_mul(q_rot[None, :], state.Q))
     V = state.V @ rot.T
     return dataclasses.replace(state, P=P, Q=Q, V=V)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from esvio_tpu.core import lie
 from esvio_tpu.imu import preintegration as pre
 from esvio_tpu.init import alignment, pnp, sfm
+from esvio_tpu.solver import factors
 from esvio_tpu.solver import gauss_newton as gn
 from esvio_tpu.solver import marginalization as marg
 from esvio_tpu.solver import window as win
@@ -457,10 +458,34 @@ class Estimator:
         preints = self._preintegrate_all()
         imu_valid = self._imu_valid()
         ref_p0, ref_q0 = self.ws.P[0], self.ws.Q[0]
-        self.ws, self.book_img, self.book_evt, costs = gn.solve_window(
-            self.ws, self.book_img, self.book_evt, preints, imu_valid,
-            self.prior, self.g, iters=cfg.solver_iters, cauchy_c=cfg.cauchy_c,
-            frozen=self._frozen_mask())
+        relo_prep = self._prepare_relo()
+        if relo_prep is not None and relo_prep["n"] >= 8:
+            # in-window relocalization: the old keyframe's pose is an extra
+            # parameter block jointly refined with the window against the
+            # robust relo rows (estimator.cpp:1988-2022)
+            dt = cfg.dtype
+            relo = relo_prep["relo"]
+            (self.ws, self.book_img, self.book_evt, costs, rP, rQ) = \
+                gn.solve_window_relo(
+                    self.ws, self.book_img, self.book_evt, preints, imu_valid,
+                    self.prior, self.g,
+                    jnp.asarray(relo["P"], dt), jnp.asarray(relo["Q"], dt),
+                    jnp.asarray(relo_prep["obs"], dt),
+                    jnp.asarray(relo_prep["lanes"]),
+                    jnp.asarray(relo_prep["valid"]),
+                    relo_book=relo_prep["book"], iters=cfg.solver_iters,
+                    cauchy_c=cfg.cauchy_c, frozen=self._frozen_mask())
+            # the gauge correction applies to the relo pose too (:1652-1695)
+            rot, q_rot, p0 = win.gauge_transform(self.ws, ref_p0, ref_q0)
+            rP = np.asarray(rot) @ (np.asarray(rP) - np.asarray(p0)) \
+                + np.asarray(ref_p0)
+            rQ = np.asarray(lie.quat_normalize(lie.quat_mul(q_rot, rQ)))
+            relo_prep["refined"] = (rP, rQ)
+        else:
+            self.ws, self.book_img, self.book_evt, costs = gn.solve_window(
+                self.ws, self.book_img, self.book_evt, preints, imu_valid,
+                self.prior, self.g, iters=cfg.solver_iters,
+                cauchy_c=cfg.cauchy_c, frozen=self._frozen_mask())
         self.ws = win.gauge_fix(self.ws, ref_p0, ref_q0)
         if cfg.estimate_extrinsic:
             # the solver refines ex_q/ex_p — refresh the cached left→right
@@ -470,7 +495,7 @@ class Estimator:
         self.book_evt = fm.remove_failures(self.book_evt)
         self._failure_detection(n_tracked)
 
-        relo = self._process_relo()
+        relo = self._finish_relo(relo_prep)
         keyframe = self._keyframe_snapshot() if marg_flag == MARGIN_OLD else None
 
         if marg_flag == MARGIN_OLD:
@@ -920,14 +945,13 @@ class Estimator:
             un=np.asarray(match_un, float),
             P=np.asarray(relo_P, float), Q=np.asarray(relo_Q, float))
 
-    def _process_relo(self) -> Optional[dict]:
-        """Resolve a pending relo match against the solved window: refine the
-        old keyframe's pose in the CURRENT world with PnP on the window's
-        landmarks, then report the drift (relative t / q / yaw) the pose
-        graph consumes.  The reference solves the relo pose as an extra Ceres
-        block inside the window problem (estimator.cpp:1988-2022); solving it
-        post-hoc against the fixed window gives the same drift feedback
-        without growing the (static-shape) parameter vector."""
+    RELO_CAP = 64   # static relo-row capacity of solve_window_relo
+
+    def _prepare_relo(self) -> Optional[dict]:
+        """Host-side match of a pending relo frame against the window books:
+        stamp alignment + feature-id → lane mapping, padded to RELO_CAP.
+        Returns None when no relo is ready; consumes self._relo when the
+        stamp has matched a window frame (single-shot like setReloFrame)."""
         relo = getattr(self, "_relo", None)
         if relo is None or self.solver_flag != "NON_LINEAR":
             return None
@@ -939,19 +963,89 @@ class Estimator:
         i = int(np.argmin(np.abs(stamps - relo["stamp"])))
         if abs(stamps[i] - relo["stamp"]) > 1e-4:
             return None                            # not arrived yet
+        self._relo = None                          # single-shot like the ref
 
         book, ex_idx = self._loop_book()
-        pts_w, valid = fm.world_points(book, self.ws, ex_idx)
         ids = np.asarray(book.ids)
-        valid = np.asarray(valid)
-        lane_of = {int(f): l for l, f in enumerate(ids) if valid[l]}
-        sel_p, sel_o = [], []
+        active = np.asarray(book.active)
+        lane_of = {int(f): l for l, f in enumerate(ids) if active[l]}
+        CAP = self.RELO_CAP
+        lanes = np.full(CAP, -1, np.int32)
+        obs = np.zeros((CAP, 2))
+        n = 0
         for m, fid in enumerate(relo["ids"]):
             l = lane_of.get(int(fid))
-            if l is not None:
-                sel_p.append(np.asarray(pts_w)[l])
-                sel_o.append(relo["un"][m])
-        self._relo = None                          # single-shot like the ref
+            if l is not None and n < CAP:
+                lanes[n] = l
+                obs[n] = relo["un"][m]
+                n += 1
+        return dict(i=i, n=n, lanes=lanes, obs=obs,
+                    valid=np.arange(CAP) < n, ex_idx=ex_idx,
+                    book="img" if ex_idx == 0 else "evt", relo=relo,
+                    frame_stamp=float(stamps[i]))
+
+    def _finish_relo(self, prep) -> Optional[dict]:
+        """Drift feedback (relative t / q / yaw) from the resolved relo pose.
+
+        Joint path: the pose was refined INSIDE the window solve
+        (solve_window_relo, estimator.cpp:1988-2022); gated by counting
+        reprojection inliers of the relo rows at the refined pose.
+        Fallback (too few in-window matches): post-hoc PnP-RANSAC against
+        the window landmarks — the r3 formulation, parity-tested."""
+        if prep is None:
+            return None
+        relo = prep["relo"]
+        i = prep["i"]
+        dt = self.cfg.dtype
+
+        if "refined" in prep:
+            rP, rQ = prep["refined"]
+            book = self.book_img if prep["book"] == "img" else self.book_evt
+            exl = 0 if prep["book"] == "img" else 1
+            r = np.asarray(gn.relo_residuals(
+                self.ws, book, exl, jnp.asarray(rP, dt), jnp.asarray(rQ, dt),
+                jnp.asarray(prep["obs"], dt), jnp.asarray(prep["lanes"]),
+                jnp.asarray(prep["valid"])))
+            err = np.linalg.norm(r, axis=1) / float(factors.PROJ_SQRT_INFO)
+            inl = int(((err < 10.0 / 460.0) & prep["valid"]).sum())
+            if inl < 15:              # MIN_LOOP_NUM (keyframe.h:18)
+                return None
+            P_w_old = np.asarray(rP, float)
+            R_w_old = np.asarray(lie.quat_to_rot(jnp.asarray(rQ)), float)
+        else:
+            pose = self._relo_pnp(prep)
+            if pose is None:
+                return None
+            P_w_old, R_w_old = pose
+
+        Q_i = np.asarray(self.ws.Q[i])
+        P_i = np.asarray(self.ws.P[i])
+        R_i = np.asarray(lie.quat_to_rot(jnp.asarray(Q_i)))
+        rel_t = R_w_old.T @ (P_i - P_w_old)
+        rel_R = R_w_old.T @ R_i
+        rel_q = np.asarray(lie.rot_to_quat(jnp.asarray(rel_R)))
+        yaw_i = float(np.asarray(lie.rot_to_ypr(jnp.asarray(R_i)))[0])
+        yaw_o = float(np.asarray(lie.rot_to_ypr(jnp.asarray(R_w_old)))[0])
+        return dict(stamp=relo["stamp"], frame_stamp=prep["frame_stamp"],
+                    relative_t=rel_t, relative_q=rel_q,
+                    relative_yaw=yaw_i - yaw_o,
+                    P_old=P_w_old, Q_old=np.asarray(
+                        lie.rot_to_quat(jnp.asarray(R_w_old))))
+
+    def _relo_pnp(self, prep):
+        """Post-hoc PnP refinement of the relo pose (fallback path)."""
+        relo = prep["relo"]
+        ex_idx = prep["ex_idx"]
+        book, _ = self._loop_book()
+        pts_w, valid = fm.world_points(book, self.ws, ex_idx)
+        valid = np.asarray(valid)
+        pts_w = np.asarray(pts_w)
+        sel_p, sel_o = [], []
+        for m in range(prep["n"]):
+            l = int(prep["lanes"][m])
+            if valid[l]:
+                sel_p.append(pts_w[l])
+                sel_o.append(prep["obs"][m])
         if len(sel_p) < 6:
             return None
         dt = self.cfg.dtype
@@ -971,16 +1065,4 @@ class Estimator:
             return None
         R_w_old = np.asarray(R_cw).T @ Rex.T       # body→world of old KF, now
         P_w_old = np.asarray(c) - R_w_old @ tex
-        Q_i = np.asarray(self.ws.Q[i])
-        P_i = np.asarray(self.ws.P[i])
-        R_i = np.asarray(lie.quat_to_rot(jnp.asarray(Q_i)))
-        rel_t = R_w_old.T @ (P_i - P_w_old)
-        rel_R = R_w_old.T @ R_i
-        rel_q = np.asarray(lie.rot_to_quat(jnp.asarray(rel_R)))
-        yaw_i = float(np.asarray(lie.rot_to_ypr(jnp.asarray(R_i)))[0])
-        yaw_o = float(np.asarray(lie.rot_to_ypr(jnp.asarray(R_w_old)))[0])
-        return dict(stamp=relo["stamp"], frame_stamp=float(stamps[i]),
-                    relative_t=rel_t, relative_q=rel_q,
-                    relative_yaw=yaw_i - yaw_o,
-                    P_old=P_w_old, Q_old=np.asarray(
-                        lie.rot_to_quat(jnp.asarray(R_w_old))))
+        return P_w_old, R_w_old
