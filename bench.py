@@ -22,10 +22,22 @@ before the computation finishes, so every timing ends on a host scalar
 fetch (a real device sync).
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compile cache: the pipeline-run bench compiles several large
+# graphs through the axon tunnel (minutes each, cold); repeat bench runs hit
+# the cache.  TPU executables serialize fine (the CPU AOT abort documented in
+# tests/conftest.py is an XLA:CPU-only failure mode).
+import jax  # noqa: E402
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tools", ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 # --smoke: tiny sizes / single reps — a CI sanity pass (tools/ci.sh), not a
 # measurement.  The default path is the real TPU benchmark.

@@ -104,3 +104,55 @@ def test_chessboard_detection(rng):
     err = np.linalg.norm(grid - gt, axis=1)
     assert err.max() < 1.0, err.max()
     assert err.mean() < 0.5, err.mean()
+
+
+def test_calibrate_kb_fisheye(rng, tmp_path):
+    """KB (EQUIDISTANT) calibration recovers ground-truth mu/mv/u0/v0 and
+    k2..k5 on a synthetic fisheye rig (VERDICT r3 #8; the model VECtor's
+    fisheye needs — reference EquidistantCamera.cc + intrinsic_calib.cc:247)."""
+    gt = dict(mu=380.0, mv=378.0, u0=320.0, v0=240.0,
+              ks=np.array([-0.01, 0.02, -0.008, 0.001]))
+    cam = cam_mod.make_equidistant(gt["mu"], gt["mv"], gt["u0"], gt["v0"],
+                                   ks=tuple(gt["ks"]), width=640, height=480,
+                                   dtype=jnp.float64)
+    board = _board()
+    ws, ts = _views(rng, board)
+    V, N = len(ws), len(board)
+    img = np.zeros((V, N, 2))
+    for v in range(V):
+        R = np.asarray(lie.so3_exp(jnp.asarray(ws[v])))
+        pc = board @ R.T + ts[v]
+        img[v] = np.asarray(cam_mod.space_to_plane(cam, jnp.asarray(pc)))
+    img += rng.normal(0, 0.1, img.shape)
+
+    obj = np.tile(board[None], (V, 1, 1))
+    res = calib.calibrate_kb(obj, img)
+    assert res["rms"] < 0.15, res["rms"]
+    for k in ("mu", "mv"):
+        assert abs(res[k] - gt[k]) / gt[k] < 0.005, (k, res[k], gt[k])
+    for k in ("u0", "v0"):
+        assert abs(res[k] - gt[k]) < 1.5, (k, res[k], gt[k])
+    # the individual θ-polynomial coefficients trade off over a finite θ
+    # range (rms stays at the noise floor) — assert FUNCTIONAL equivalence:
+    # the recovered model projects like the ground truth across the full
+    # observed field of view
+    cam_fit = cam_mod.make_equidistant(
+        res["mu"], res["mv"], res["u0"], res["v0"], ks=tuple(res["ks"]),
+        width=640, height=480, dtype=jnp.float64)
+    th = np.linspace(0.02, 0.75, 24)              # up to ~43° off-axis
+    psi = np.linspace(0, 2 * np.pi, 13)[:-1]
+    rays = np.stack([np.outer(np.sin(th), np.cos(psi)).ravel(),
+                     np.outer(np.sin(th), np.sin(psi)).ravel(),
+                     np.outer(np.cos(th), np.ones_like(psi)).ravel()], -1)
+    uv_gt = np.asarray(cam_mod.space_to_plane(cam, jnp.asarray(rays)))
+    uv_fit = np.asarray(cam_mod.space_to_plane(cam_fit, jnp.asarray(rays)))
+    assert np.abs(uv_fit - uv_gt).max() < 1.0, np.abs(uv_fit - uv_gt).max()
+
+    # YAML round-trip through the product reader
+    path = tmp_path / "kb.yaml"
+    calib.write_camera_yaml_kb(str(path), res, 640, 480)
+    cam2 = load_camera_yaml(str(path))
+    ray = np.asarray(cam_mod.lift_projective(
+        cam2, jnp.asarray([[400.0, 300.0]])))[0]
+    uv = np.asarray(cam_mod.space_to_plane(cam2, jnp.asarray([ray])))[0]
+    assert np.abs(uv - [400.0, 300.0]).max() < 0.1
