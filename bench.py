@@ -74,22 +74,33 @@ def bench_frontend_raw():
         p=jnp.asarray(p), valid=jnp.ones(E, bool))
     state = sae_mod.init_sae(H, W)
 
-    @jax.jit
-    def frontend(state, chunk, t_now):
-        state, _ = sae_mod.update_sae(state, chunk, 0.01)
-        ts = sae_mod.time_surface(state, t_now, 20.0, False)
-        corners = cor_mod.detect_corners(state, chunk, 10)
-        return state, ts.sum() + corners.sum()
+    # KB = chunks per dispatch: the axon tunnel adds ~2.4 ms launch latency
+    # per dispatch, which is NOT device throughput — a sustained event
+    # stream batches chunks per launch exactly like this scan.  The per-tick
+    # LATENCY story lives in tracker_tick_ms / pipeline_* (one dispatch).
+    KB = 1 if SMOKE else 4
+    chunks = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (KB,) + x.shape), chunk)
 
-    st, digest = frontend(state, chunk, 1.05)
+    @jax.jit
+    def frontend(state, chunks, t_now):
+        def one(st, ch):
+            st, _ = sae_mod.update_sae(st, ch, 0.01)
+            ts = sae_mod.time_surface(st, t_now, 20.0, False)
+            corners = cor_mod.detect_corners(st, ch, 10)
+            return st, ts.sum() + corners.sum()
+        state, digests = jax.lax.scan(one, state, chunks)
+        return state, digests.sum()
+
+    st, digest = frontend(state, chunks, 1.05)
     _sync(digest)
-    iters = 2 if SMOKE else 20
+    iters = 2 if SMOKE else 8
     t0 = time.perf_counter()
     st = state
     for _ in range(iters):
-        st, digest = frontend(st, chunk, 1.05)
+        st, digest = frontend(st, chunks, 1.05)
     _sync(digest)                      # FIFO queue ⇒ syncs all iterations
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / (iters * KB)
     # HBM traffic estimate: event payload in/out of the sorts (~5 arrays ×
     # (read+write) × 2 sort passes) + SAE tables + time surface + corner
     # gathers (36 taps × 4B per event, random-access)
@@ -338,9 +349,15 @@ def bench_pipeline_run():
         min_dist=10, lk_iters=15)
     est_cfg = est_mod.EstimatorConfig(mode="esio", evt_capacity=256,
                                       img_capacity=8, min_track_for_kf=15)
-    pipe = Pipeline(sys_cfg, cams={"event0": cam, "event1": cam},
-                    tracker_cfg=tracker_cfg, est_cfg=est_cfg,
-                    event_capacity=1 << 15)
+    def make_pipe():
+        return Pipeline(sys_cfg, cams={"event0": cam, "event1": cam},
+                        tracker_cfg=tracker_cfg, est_cfg=est_cfg,
+                        event_capacity=1 << 15)
+
+    # warm-up run: pays all jit compiles; the measured run on a FRESH
+    # pipeline then hits the in-process jit cache (steady-state rate)
+    make_pipe().run(seq)
+    pipe = make_pipe()
     t0 = time.perf_counter()
     res = pipe.run(seq)
     wall = time.perf_counter() - t0

@@ -359,8 +359,8 @@ class Pipeline:
                         info["stamp_new"], info["match_ids"],
                         info["match_un_old"], info["t_old"], info["q_old"])
         met.count("ticks")
-        met.observe("tracked_features",
-                    float(np.sum(np.asarray(pkt_evt.valid))))
+        if out.n_tracked is not None:   # host-side count, no device fetch
+            met.observe("tracked_features", float(out.n_tracked))
         met.gauge("lanes_dropped", float(self.estimator.lanes_dropped))
         self._tick += 1
         if self.dump_viz_dir and self._tick % self.dump_viz_every == 0:

@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from esvio_tpu.core import lie
+from esvio_tpu.core import lie, lie_np
 from esvio_tpu.init import pnp
 from esvio_tpu.loop import brief, fast, keyframe_db, pose_graph
 
@@ -103,31 +103,39 @@ class LoopCloser:
         # map the incoming VIO pose into the fused world frame
         # (addKeyFrame entry, pose_graph.cpp:70-75)
         t_w = self.w_r_vio @ np.asarray(t_w, float) + self.w_t_vio
-        R_w = self.w_r_vio @ np.asarray(
-            lie.quat_to_rot(jnp.asarray(np.asarray(q_w, float))))
-        q_w = np.asarray(lie.rot_to_quat(jnp.asarray(R_w)))
+        R_w = self.w_r_vio @ lie_np.quat_to_rot(np.asarray(q_w, float))
+        q_w = lie_np.rot_to_quat(R_w)
         win_pts_w = self.w_r_vio @ np.asarray(win_pts_w, float).T
         win_pts_w = win_pts_w.T + self.w_t_vio
 
         img = jnp.asarray(image, jnp.float32)
-        # descriptors at window points (computeWindowBRIEFPoint)
-        win_desc = np.asarray(brief.describe(
-            img, jnp.asarray(win_uv, jnp.float32), jnp.asarray(win_valid)))
-        # new FAST corners + descriptors (computeBRIEFPoint)
-        xy, score, ok = fast.detect_fast(img, self.cfg.fast_threshold,
-                                         self.cfg.max_extra_corners)
-        ext_desc = np.asarray(brief.describe(img, xy, ok))
+        # descriptors at window points (computeWindowBRIEFPoint) + new FAST
+        # corners + descriptors (computeBRIEFPoint) — all device results come
+        # back in ONE batched fetch (per-array fetches cost a ~40 ms tunnel
+        # round trip each, r4)
+        win_desc_d = brief.describe(
+            img, jnp.asarray(win_uv, jnp.float32), jnp.asarray(win_valid))
+        xy_d, score_d, ok_d = fast.detect_fast(img, self.cfg.fast_threshold,
+                                               self.cfg.max_extra_corners)
+        ext_desc_d = brief.describe(img, xy_d, ok_d)
+        fetch = dict(win_desc=win_desc_d, xy=xy_d, ok=ok_d,
+                     ext_desc=ext_desc_d)
         if self.cam is not None:
             from esvio_tpu.core.camera import lift_projective
-            rays = np.asarray(lift_projective(self.cam, np.asarray(xy)))
+            fetch["rays"] = lift_projective(self.cam, xy_d)
+        got = jax.device_get(fetch)
+        win_desc, ok = got["win_desc"], got["ok"]
+        xy, ext_desc = got["xy"], got["ext_desc"]
+        if self.cam is not None:
+            rays = got["rays"]
             ext_un = rays[:, :2] / rays[:, 2:]
         else:
-            ext_un = np.asarray(xy)
+            ext_un = xy
 
         idx = self.db.add(stamp, np.asarray(t_w), np.asarray(q_w),
                           np.asarray(win_pts_w), np.zeros((len(win_pts_w), 2)),
                           win_desc, np.asarray(win_valid),
-                          ext_un, ext_desc, np.asarray(ok), sequence)
+                          ext_un, ext_desc, ok, sequence)
         self.kf_ids.append(
             np.asarray(ids, np.int32) if ids is not None
             else np.full(len(win_pts_w), -1, np.int32))
@@ -171,12 +179,11 @@ class LoopCloser:
         cfg = self.cfg
         dbw = self.db
         # match new window descriptors → old keyframe's FAST descriptors
-        idx, ok = brief.match(
+        idx_d, ok_d = brief.match(
             jnp.asarray(dbw.win_desc[j_new]), jnp.asarray(dbw.win_valid[j_new]),
             jnp.asarray(dbw.ext_desc[i_old]), jnp.asarray(dbw.ext_valid[i_old]),
             cfg.hamming_max)
-        idx = np.asarray(idx)
-        ok = np.asarray(ok)
+        idx, ok = jax.device_get((idx_d, ok_d))   # one batched round trip
         if ok.sum() < MIN_LOOP_NUM:
             return None
 
@@ -184,32 +191,32 @@ class LoopCloser:
         obs_old = dbw.ext_un[i_old][idx]     # matched normalized obs in old KF
 
         # seed with the old keyframe pose (w_T_old): PnP solves old cam pose
-        R_old = np.asarray(lie.quat_to_rot(jnp.asarray(dbw.q_vio[i_old])))
+        R_old = lie_np.quat_to_rot(dbw.q_vio[i_old])
         self.key, k = jax.random.split(self.key)
-        R, t, inl = pnp.pnp_ransac(
+        R_d, t_d, inl_d = pnp.pnp_ransac(
             k, jnp.asarray(pts_w), jnp.asarray(obs_old), jnp.asarray(ok),
             jnp.asarray(R_old.T), jnp.asarray(dbw.t_vio[i_old]),
             cfg.pnp_threshold, cfg.pnp_hypotheses)
-        n_inl = int(np.asarray(inl).sum())
+        R, t, inl = jax.device_get((R_d, t_d, inl_d))   # one round trip
+        n_inl = int(inl.sum())
         if n_inl < MIN_LOOP_NUM:
             return None
 
         # relative pose: old (PnP, world frame) vs new (VIO)
         R_w_old = np.asarray(R).T
         t_w_old = np.asarray(t)
-        R_new = np.asarray(lie.quat_to_rot(jnp.asarray(dbw.q_vio[j_new])))
+        R_new = lie_np.quat_to_rot(dbw.q_vio[j_new])
         t_new = dbw.t_vio[j_new]
         rel_t = R_w_old.T @ (t_new - t_w_old)
         rel_R = R_w_old.T @ R_new
-        rel_yaw = float(np.asarray(lie.rot_to_ypr(jnp.asarray(rel_R)))[0])
+        rel_yaw = float(lie_np.rot_to_ypr(rel_R)[0])
         if abs(rel_yaw) > MAX_YAW_DEG or np.linalg.norm(rel_t) > MAX_DIST_M:
             return None
 
         # fast-relocalization payload (keyframe.cpp:531-557): matched window
         # feature ids of the NEW keyframe + their normalized obs in the OLD
         # keyframe + the old keyframe's VIO-world pose
-        inl_np = np.asarray(inl)
-        win_lanes = np.nonzero(ok & inl_np)[0]
+        win_lanes = np.nonzero(ok & inl)[0]
         match_ids = self.kf_ids[j_new][win_lanes] \
             if j_new < len(self.kf_ids) else np.full(len(win_lanes), -1)
         return dict(i_old=i_old, j_new=j_new, rel_t=rel_t, rel_yaw=rel_yaw,
@@ -226,23 +233,22 @@ class LoopCloser:
         whole sequence into the world frame (pose_graph.cpp:124-145,
         new_sequence pose_graph_node.cpp:79-103)."""
         db = self.db
-        R_old = np.asarray(lie.quat_to_rot(jnp.asarray(db.q_vio[i_old])))
+        R_old = lie_np.quat_to_rot(db.q_vio[i_old])
         t_old = db.t_vio[i_old]
         w_R_cur = R_old @ info["rel_R"]
         w_P_cur = R_old @ info["rel_t"] + t_old
-        vio_R_cur = np.asarray(lie.quat_to_rot(jnp.asarray(db.q_vio[j_new])))
+        vio_R_cur = lie_np.quat_to_rot(db.q_vio[j_new])
         vio_P_cur = db.t_vio[j_new]
-        yaw_w = float(np.asarray(lie.rot_to_ypr(jnp.asarray(w_R_cur)))[0])
-        yaw_v = float(np.asarray(lie.rot_to_ypr(jnp.asarray(vio_R_cur)))[0])
-        shift_r = np.asarray(lie.ypr_to_rot(
-            jnp.asarray([yaw_w - yaw_v, 0.0, 0.0])))
+        yaw_w = float(lie_np.rot_to_ypr(w_R_cur)[0])
+        yaw_v = float(lie_np.rot_to_ypr(vio_R_cur)[0])
+        shift_r = lie_np.ypr_to_rot([yaw_w - yaw_v, 0.0, 0.0])
         shift_t = w_P_cur - shift_r @ vio_P_cur
         self.w_r_vio = shift_r
         self.w_t_vio = shift_t
         for j in np.nonzero(db.sequence[:db.count] == sequence)[0]:
             db.t_vio[j] = shift_r @ db.t_vio[j] + shift_t
-            Rj = np.asarray(lie.quat_to_rot(jnp.asarray(db.q_vio[j])))
-            db.q_vio[j] = np.asarray(lie.rot_to_quat(jnp.asarray(shift_r @ Rj)))
+            Rj = lie_np.quat_to_rot(db.q_vio[j])
+            db.q_vio[j] = lie_np.rot_to_quat(shift_r @ Rj)
             db.t_opt[j] = db.t_vio[j]
             db.q_opt[j] = db.q_vio[j]
             db.win_pts[j] = db.win_pts[j] @ shift_r.T + shift_t
@@ -294,8 +300,8 @@ class LoopCloser:
         K = max(64, 1 << (n - 1).bit_length())
         # measurements + initial values both come from the VIO poses, exactly
         # like optimize4DoF (pose_graph.cpp:463-495 uses getVioPose)
-        ypr = np.asarray(lie.rot_to_ypr(lie.quat_to_rot(
-            jnp.asarray(db.q_vio[:n]))))
+        ypr = np.stack([lie_np.rot_to_ypr(lie_np.quat_to_rot(q))
+                        for q in db.q_vio[:n]])
         yaw = np.zeros(K)
         pitch = np.zeros(K)
         roll = np.zeros(K)
@@ -337,20 +343,17 @@ class LoopCloser:
 
         # write back optimized poses; keep pitch/roll from VIO
         for i in range(n):
-            R = np.asarray(lie.ypr_to_rot(jnp.asarray(
-                [yaw_o[i], pitch[i], roll[i]])))
-            db.q_opt[i] = np.asarray(lie.rot_to_quat(jnp.asarray(R)))
+            R = lie_np.ypr_to_rot([yaw_o[i], pitch[i], roll[i]])
+            db.q_opt[i] = lie_np.rot_to_quat(R)
             db.t_opt[i] = t_o[i]
 
         # drift of the newest optimized keyframe vs its VIO pose
         # (pose_graph.cpp:541-578)
         last = n - 1
         ypr_opt = yaw_o[last]
-        ypr_vio = np.asarray(lie.rot_to_ypr(jnp.asarray(
-            lie.quat_to_rot(jnp.asarray(db.q_vio[last])))))
+        ypr_vio = lie_np.rot_to_ypr(lie_np.quat_to_rot(db.q_vio[last]))
         yaw_drift = ypr_opt - ypr_vio[0]
-        self.r_drift = np.asarray(lie.ypr_to_rot(jnp.asarray(
-            [yaw_drift, 0.0, 0.0])))
+        self.r_drift = lie_np.ypr_to_rot([yaw_drift, 0.0, 0.0])
         self.t_drift = db.t_opt[last] - self.r_drift @ db.t_vio[last]
         # reset the cadence schedule — without this every keyframe after the
         # first accepted loop re-solves the whole graph (ADVICE r3)
@@ -361,9 +364,9 @@ class LoopCloser:
         """Apply sequence shift + loop drift to an incoming VIO pose
         (vio_callback, pose_graph_node.cpp:241-318: w_r_vio/w_t_vio first,
         then r_drift/t_drift)."""
-        R = np.asarray(lie.quat_to_rot(jnp.asarray(q_w)))
+        R = lie_np.quat_to_rot(q_w)
         t_v = self.w_r_vio @ np.asarray(t_w) + self.w_t_vio
         R_v = self.w_r_vio @ R
         t_c = self.r_drift @ t_v + self.t_drift
         R_c = self.r_drift @ R_v
-        return t_c, np.asarray(lie.rot_to_quat(jnp.asarray(R_c)))
+        return t_c, lie_np.rot_to_quat(R_c)

@@ -76,6 +76,7 @@ def load_estimator(est: Estimator, path):
     est.prior = gn.Prior(
         J0=jnp.asarray(z["prior.J0"], dt), r0=jnp.asarray(z["prior.r0"], dt),
         lin=lin, valid=jnp.asarray(z["prior.valid"]))
+    est._prior_valid = bool(z["prior.valid"])   # host mirror
     est.frame_count = int(z["frame_count"])
     est.solver_flag = ["INITIAL", "NON_LINEAR"][int(z["solver_flag"])]
     est.timestamps = z["timestamps"].copy()

@@ -23,6 +23,7 @@ Differences vs the reference, by design:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
@@ -87,10 +88,40 @@ class Output:
     # keyframe snapshot for the pose graph (pubKeyframe: only MARGIN_OLD
     # frames): dict(stamp, P, Q, ids, pts_w, un)
     keyframe: Optional[dict] = None
+    # host-side tracked-feature count of this tick (no extra device fetch)
+    n_tracked: Optional[int] = None
 
 
 def _stack_preints(pres):
     return jax.tree_util.tree_map(lambda *x: jnp.stack(x), *pres)
+
+
+# jitted window-state shuffles: these ran as chains of eager ops before —
+# every eager primitive is its own ~1 ms dispatch through the device tunnel
+# (r4 pipeline profile), so one fused call each matters at tick rate
+@jax.jit
+def _slide_old_state(ws):
+    roll = lambda x: jnp.concatenate([x[1:], x[-1:]], axis=0)
+    return dataclasses.replace(
+        ws, P=roll(ws.P), Q=roll(ws.Q), V=roll(ws.V),
+        Ba=roll(ws.Ba), Bg=roll(ws.Bg))
+
+
+@jax.jit
+def _slide_second_state(ws):
+    sh = lambda x: x.at[WINDOW - 1].set(x[WINDOW])
+    return dataclasses.replace(
+        ws, P=sh(ws.P), Q=sh(ws.Q), V=sh(ws.V), Ba=sh(ws.Ba), Bg=sh(ws.Bg))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _copy_prev_state(ws, k):
+    cp = lambda x: x.at[k].set(x[k - 1])
+    return dataclasses.replace(
+        ws, P=cp(ws.P), Q=cp(ws.Q), V=cp(ws.V), Ba=cp(ws.Ba), Bg=cp(ws.Bg))
+
+
+_gauge_fix_jit = jax.jit(win.gauge_fix)
 
 
 class Estimator:
@@ -124,6 +155,9 @@ class Estimator:
         self.first_imu = False
         self.last_marg = MARGIN_OLD
         self.failures = 0
+        self._prior_valid = False     # host mirror of prior.valid
+        self._img_any = None          # per-tick cache for _loop_book
+        self._post = None             # last tick's batched post-solve fetch
         self.n_solves = 0
         self.lanes_dropped = 0   # new features lost to lane exhaustion
         self._relo = None
@@ -289,6 +323,15 @@ class Estimator:
 
     def _seed_latest_from_window(self, t):
         k = min(self.frame_count, WINDOW)
+        post = self._post
+        if post is not None:
+            self._latest.update(
+                t=t, P=np.asarray(post["P"][k], float),
+                Q=np.asarray(post["Q"][k], float),
+                V=np.asarray(post["V"][k], float),
+                Ba=np.asarray(post["Ba"][k], float),
+                Bg=np.asarray(post["Bg"][k], float))
+            return
         self._latest.update(
             t=t, P=np.asarray(self.ws.P[k], float),
             Q=np.asarray(self.ws.Q[k], float),
@@ -347,14 +390,7 @@ class Estimator:
         """Dead-reckon pose of frame k from frame k-1 via interval-k IMU."""
         if k == 0 or self.imu_n[k] == 0:
             if k > 0:
-                self.ws = dataclasses.replace(
-                    self.ws,
-                    P=self.ws.P.at[k].set(self.ws.P[k - 1]),
-                    Q=self.ws.Q.at[k].set(self.ws.Q[k - 1]),
-                    V=self.ws.V.at[k].set(self.ws.V[k - 1]),
-                    Ba=self.ws.Ba.at[k].set(self.ws.Ba[k - 1]),
-                    Bg=self.ws.Bg.at[k].set(self.ws.Bg[k - 1]),
-                )
+                self.ws = _copy_prev_state(self.ws, k)
             return
         dt = self.cfg.dtype
         a0, g0 = self._interval_first_sample(k)
@@ -406,22 +442,31 @@ class Estimator:
         """Main measurement step (Stereo_processVisual, estimator.cpp:204-308)."""
         cfg = self.cfg
         fc = self.frame_count
+        self._img_any = None
         self.timestamps[fc] = t
         if fc > 0:
             self._propagate_new_frame(fc)
 
+        # ONE batched device→host fetch for all host-control scalars of this
+        # phase: each individual fetch is a full tunnel round trip (~40 ms
+        # measured r4) but jax.device_get overlaps them (~1 round trip total)
         self.book_evt, n_trk_e, n_drop_e = self._insert(
             self.book_evt, pkt_evt, fc)
-        self.lanes_dropped += int(n_drop_e)
+        fetch = dict(n_trk_e=n_trk_e, n_drop_e=n_drop_e)
         if pkt_img is not None:
             self.book_img, n_trk_i, n_drop_i = self._insert(
                 self.book_img, pkt_img, fc)
-            self.lanes_dropped += int(n_drop_i)
-            n_tracked = int(n_trk_i)
+            fetch.update(n_trk_i=n_trk_i, n_drop_i=n_drop_i)
             par_book = self.book_img
         else:
-            n_tracked = int(n_trk_e)
             par_book = self.book_evt
+        if fc >= 2:
+            mean_par_d, num_d = fm.mean_parallax(par_book, fc)
+            fetch.update(mean_par=mean_par_d, num=num_d)
+        vals = jax.device_get(fetch)
+        self.lanes_dropped += int(vals["n_drop_e"]) \
+            + int(vals.get("n_drop_i", 0))
+        n_tracked = int(vals["n_trk_i" if pkt_img is not None else "n_trk_e"])
 
         # online extrinsic-rotation calibration (estimate_extrinsic == 2,
         # estimator.cpp:226-242) — runs until the hand-eye solve converges
@@ -433,8 +478,8 @@ class Estimator:
         if fc < 2 or n_tracked < cfg.min_track_for_kf:
             marg_flag = MARGIN_OLD
         else:
-            mean_par, num = fm.mean_parallax(par_book, fc)
-            if int(num) == 0 or float(mean_par) >= cfg.min_parallax:
+            if int(vals["num"]) == 0 \
+                    or float(vals["mean_par"]) >= cfg.min_parallax:
                 marg_flag = MARGIN_OLD
             else:
                 marg_flag = MARGIN_SECOND_NEW
@@ -486,27 +531,35 @@ class Estimator:
                 self.ws, self.book_img, self.book_evt, preints, imu_valid,
                 self.prior, self.g, iters=cfg.solver_iters,
                 cauchy_c=cfg.cauchy_c, frozen=self._frozen_mask())
-        self.ws = win.gauge_fix(self.ws, ref_p0, ref_q0)
+        self.ws = _gauge_fix_jit(self.ws, ref_p0, ref_q0)
         if cfg.estimate_extrinsic:
             # the solver refines ex_q/ex_p — refresh the cached left→right
             # stereo transforms used by instant triangulation (ADVICE r2)
             self._update_stereo_extrinsics()
         self.book_img = fm.remove_failures(self.book_img)
         self.book_evt = fm.remove_failures(self.book_evt)
-        self._failure_detection(n_tracked)
+        post = self._post_fetch(marg_flag, n_tracked)
+        self._failure_detection(post)
 
         relo = self._finish_relo(relo_prep)
-        keyframe = self._keyframe_snapshot() if marg_flag == MARGIN_OLD else None
+        keyframe = self._keyframe_snapshot(post) \
+            if marg_flag == MARGIN_OLD else None
 
         if marg_flag == MARGIN_OLD:
             self.prior = marg.marginalize_old(
                 self.ws, self.book_img, self.book_evt, preints, imu_valid,
                 self.prior, self.g, cfg.cauchy_c)
+            self._prior_valid = True
         else:
-            if bool(self.prior.valid):
+            if self._prior_valid:
                 self.prior = marg.marginalize_second_new(self.prior)
         self._slide(marg_flag)
-        return self._output(t, marg_flag, relo=relo, keyframe=keyframe)
+        # post-slide window state at index WINDOW is unchanged by either
+        # slide (the roll duplicates the last slot) — update_latest reuses
+        # this tick's fetch instead of five more round trips
+        self._post = post
+        return self._output(t, marg_flag, relo=relo, keyframe=keyframe,
+                            post=post)
 
     # -------------------------------------------- extrinsic self-calibration
     def _interval_preint(self, k, ba=None, bg=None):
@@ -853,25 +906,25 @@ class Estimator:
                          for k in range(1, win.N_STATES)])
         return jnp.asarray((sums > 0) & (sums <= 10.0))
 
-    def _failure_detection(self, n_tracked):
-        """Soft bias/velocity reset (failureDetection :1793-1825)."""
-        ba = np.asarray(self.ws.Ba[WINDOW])
-        bg = np.asarray(self.ws.Bg[WINDOW])
+    def _failure_detection(self, post):
+        """Soft bias/velocity reset (failureDetection :1793-1825).  Reads
+        the batched post-solve fetch; refreshes it on the (rare) reset."""
+        ba = post["Ba"][WINDOW]
+        bg = post["Bg"][WINDOW]
         if np.linalg.norm(ba) > 2.5 or np.linalg.norm(bg) > 1.0:
             self.failures += 1
             self.ws = dataclasses.replace(
                 self.ws,
                 Ba=jnp.zeros_like(self.ws.Ba), Bg=jnp.zeros_like(self.ws.Bg),
                 V=jnp.zeros_like(self.ws.V))
+            post.update(jax.device_get(dict(
+                V=self.ws.V, Ba=self.ws.Ba, Bg=self.ws.Bg)))
 
     def _slide(self, marg_flag, skip_marg=False):
         """Window slide (slideWindow, estimator.cpp:2650-2771)."""
         if marg_flag == MARGIN_OLD:
             marg_P, marg_Q = self.ws.P[0], self.ws.Q[0]
-            roll = lambda x: jnp.concatenate([x[1:], x[-1:]], axis=0)
-            self.ws = dataclasses.replace(
-                self.ws, P=roll(self.ws.P), Q=roll(self.ws.Q), V=roll(self.ws.V),
-                Ba=roll(self.ws.Ba), Bg=roll(self.ws.Bg))
+            self.ws = _slide_old_state(self.ws)
             self.timestamps[:-1] = self.timestamps[1:]
             self.imu_dt[:-1] = self.imu_dt[1:]
             self.imu_acc[:-1] = self.imu_acc[1:]
@@ -895,45 +948,70 @@ class Estimator:
             self.imu_n[k - 1] = n9 + take
             self.imu_n[k] = 0
             self.timestamps[k - 1] = self.timestamps[k]
-            sh = lambda x: x.at[k - 1].set(x[k])
-            self.ws = dataclasses.replace(
-                self.ws, P=sh(self.ws.P), Q=sh(self.ws.Q), V=sh(self.ws.V),
-                Ba=sh(self.ws.Ba), Bg=sh(self.ws.Bg))
+            self.ws = _slide_second_state(self.ws)
             self.book_img = fm.slide_second_new(self.book_img, win.N_STATES - 1)
             self.book_evt = fm.slide_second_new(self.book_evt, win.N_STATES - 1)
         # frame_count stays at WINDOW once the window is full
 
-    def _output(self, t, marg_flag, relo=None, keyframe=None) -> Output:
+    def _output(self, t, marg_flag, relo=None, keyframe=None,
+                post=None) -> Output:
         k = min(self.frame_count, WINDOW)
+        if post is not None:
+            return Output(
+                t=t, P=post["P"][k].copy(), Q=post["Q"][k].copy(),
+                V=post["V"][k].copy(), solver_flag=self.solver_flag,
+                marg_flag=marg_flag, relo=relo, keyframe=keyframe,
+                n_tracked=post.get("n_tracked"))
         return Output(
             t=t, P=np.asarray(self.ws.P[k]), Q=np.asarray(self.ws.Q[k]),
             V=np.asarray(self.ws.V[k]), solver_flag=self.solver_flag,
             marg_flag=marg_flag, relo=relo, keyframe=keyframe)
 
+    def _post_fetch(self, marg_flag, n_tracked):
+        """ONE batched device→host fetch of everything the post-solve host
+        logic needs this tick (failure gates, output pose, IMU-rate seed,
+        keyframe snapshot) — individual fetches cost a ~40 ms tunnel round
+        trip each; jax.device_get overlaps them."""
+        ws = self.ws
+        req = dict(P=ws.P, Q=ws.Q, V=ws.V, Ba=ws.Ba, Bg=ws.Bg)
+        if marg_flag == MARGIN_OLD and self.solver_flag == "NON_LINEAR":
+            kf = WINDOW - 2
+            book, ex_idx = self._loop_book()
+            pts_w, valid = fm.world_points(book, ws, ex_idx)
+            req.update(kf_obs=book.obs[:, kf], kf_valid=valid,
+                       kf_ids=book.ids, kf_pts=pts_w, kf_un=book.un[:, kf])
+        post = jax.device_get(req)
+        post["n_tracked"] = n_tracked
+        return post
+
     # ----------------------------------------------------- loop closure I/O
     def _loop_book(self):
         """Book used for loop-closure features (image in ESVIO, event in ESIO)."""
-        if self.cfg.mode == "esio" or not bool(jnp.any(self.book_img.active)):
+        if self.cfg.mode == "esio":
+            return self.book_evt, 1
+        if self._img_any is None:
+            self._img_any = bool(jnp.any(self.book_img.active))
+        if not self._img_any:
             return self.book_evt, 1
         return self.book_img, 0
 
-    def _keyframe_snapshot(self) -> Optional[dict]:
+    def _keyframe_snapshot(self, post) -> Optional[dict]:
         """Keyframe packet for the pose graph (pubKeyframe semantics: the
         2nd-newest frame, published only on MARGIN_OLD,
         visualization.cpp:408-463): pose + world landmarks observed there."""
         kf = WINDOW - 2
-        book, ex_idx = self._loop_book()
-        pts_w, valid = fm.world_points(book, self.ws, ex_idx)
-        seen = np.asarray(book.obs[:, kf]) & np.asarray(valid)
+        if "kf_obs" not in post:
+            return None
+        seen = post["kf_obs"] & post["kf_valid"]
         if seen.sum() == 0:
             return None
         lanes = np.nonzero(seen)[0]
         return dict(
             stamp=float(self.timestamps[kf]),
-            P=np.asarray(self.ws.P[kf]), Q=np.asarray(self.ws.Q[kf]),
-            ids=np.asarray(book.ids)[lanes],
-            pts_w=np.asarray(pts_w)[lanes],
-            un=np.asarray(book.un[:, kf])[lanes],
+            P=post["P"][kf].copy(), Q=post["Q"][kf].copy(),
+            ids=post["kf_ids"][lanes],
+            pts_w=post["kf_pts"][lanes],
+            un=post["kf_un"][lanes],
         )
 
     def set_relo_frame(self, stamp, match_ids, match_un, relo_P, relo_Q):
