@@ -275,9 +275,36 @@ class Pipeline:
             self._estimator_stage(pending, seq, freq, res, tim, met)
         if self.loop_closer is not None:
             self.loop_closer.flush()   # run any cadence-pending 4-DoF solve
+            self._rebuild_loop_path(res)
         res.metrics = met.summary()
         res.stage_times = tim.report()
         return res
+
+    def _rebuild_loop_path(self, res):
+        """Rewrite the loop-corrected trajectory from the FINAL pose-graph
+        state (updatePath, pose_graph.cpp:588-702: after every 4-DoF solve
+        the reference rewrites the whole esvio_result_loop.txt from the
+        optimized keyframe poses).  Ticks that are keyframes take their
+        optimized pose directly; other ticks get the final drift applied to
+        their VIO pose.  Without this, early P_loop entries keep whatever
+        drift was current when they were recorded and the final solve never
+        reaches them."""
+        if res.P_loop is None or not res.stamps:
+            return
+        lc = self.loop_closer
+        if not lc.loops:
+            return   # no loop ⇒ drift is identity ⇒ corrected == raw already
+        db = lc.db
+        kf_of = {float(db.stamp[i]): i for i in range(db.count)}
+        for k, t in enumerate(res.stamps):
+            i = kf_of.get(float(t))
+            if i is not None:
+                res.P_loop[k] = db.t_opt[i].copy()
+                res.Q_loop[k] = db.q_opt[i].copy()
+            else:
+                t_c, q_c = lc.correct_odometry(res.P[k], res.Q[k])
+                res.P_loop[k] = t_c
+                res.Q_loop[k] = q_c
 
     def _image_frontend(self, seq, t, tim):
         """Pair + track the latest frame ≤ t (sync_process semantics); each
@@ -358,6 +385,14 @@ class Pipeline:
                     self.estimator.set_relo_frame(
                         info["stamp_new"], info["match_ids"],
                         info["match_un_old"], info["t_old"], info["q_old"])
+        # fast-reloc drift feedback: the window-refined loop edge replaces
+        # the PnP edge and updates drift instantly (relo_relative_pose →
+        # updateKeyFrameLoop, pose_graph.cpp:887-933)
+        if self.loop_closer is not None and out.relo is not None \
+                and cfg.fast_relocalization:
+            self.loop_closer.update_loop(
+                out.relo["stamp"], out.relo["relative_t"],
+                out.relo["relative_q"], out.relo["relative_yaw"])
         met.count("ticks")
         if out.n_tracked is not None:   # host-side count, no device fetch
             met.observe("tracked_features", float(out.n_tracked))

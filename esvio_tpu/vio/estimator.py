@@ -510,11 +510,17 @@ class Estimator:
             # robust relo rows (estimator.cpp:1988-2022)
             dt = cfg.dtype
             relo = relo_prep["relo"]
+            # the relo pose block is SEEDED from the matched window frame's
+            # own pose (setReloFrame: relo_Pose[j] = para_Pose[i][j],
+            # estimator.cpp:2789) — the payload's old-KF pose lives in the
+            # loop-corrected world and must not touch the VIO-frame solve
+            ri = relo_prep["i"]
             (self.ws, self.book_img, self.book_evt, costs, rP, rQ) = \
                 gn.solve_window_relo(
                     self.ws, self.book_img, self.book_evt, preints, imu_valid,
                     self.prior, self.g,
-                    jnp.asarray(relo["P"], dt), jnp.asarray(relo["Q"], dt),
+                    jnp.asarray(self.ws.P[ri], dt),
+                    jnp.asarray(self.ws.Q[ri], dt),
                     jnp.asarray(relo_prep["obs"], dt),
                     jnp.asarray(relo_prep["lanes"]),
                     jnp.asarray(relo_prep["valid"]),
@@ -695,6 +701,42 @@ class Estimator:
         R_wc = [np.eye(3)]
         t_wc = [np.zeros(3)]
 
+        # gyro-predicted camera-frame relative rotations per interval: the
+        # zero-bias preintegrated Δq mapped through the extrinsic,
+        # ΔR_cam = Rexᵀ·ΔR_body·Rex.  Used to SEED each PnP and to GATE its
+        # rotation: at init the stereo depths are at their noisiest (small
+        # disparity), and an unchecked PnP chain accumulates rotation drift
+        # that solveGyroscopeBias then absorbs as a phantom bias (r5: a 9°
+        # PnP jump became Bg ≈ 0.26 rad/s and a velocity runaway; the bias
+        # random-walk weights make a wrong init bias quasi-permanent).
+        Rex_np = np.asarray(Rex)
+        dR_cam = []
+        for k in range(win.N_STATES - 1):
+            dR_b = np.asarray(lie.quat_to_rot(preints.delta_q[k]))
+            dR_cam.append(Rex_np.T @ dR_b @ Rex_np)
+        GYRO_GATE_DEG = 5.0   # gyro-noise bound over one ~70 ms interval
+
+        def rot_angle_deg(Ra, Rb):
+            c = (np.trace(Ra.T @ Rb) - 1.0) / 2.0
+            return float(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
+
+        def translation_only(R_cw, pts_w, obs2):
+            """Linear LS for t given fixed rotation: for each point,
+            u·(r3·p + tz) = r1·p + tx, v·(r3·p + tz) = r2·p + ty."""
+            P3 = np.asarray(pts_w)
+            O2 = np.asarray(obs2)
+            rp = P3 @ R_cw.T                    # (N, 3) rotated points
+            A = np.zeros((2 * len(P3), 3))
+            b = np.zeros(2 * len(P3))
+            A[0::2, 0] = 1.0
+            A[0::2, 2] = -O2[:, 0]
+            b[0::2] = O2[:, 0] * rp[:, 2] - rp[:, 0]
+            A[1::2, 1] = 1.0
+            A[1::2, 2] = -O2[:, 1]
+            b[1::2] = O2[:, 1] * rp[:, 2] - rp[:, 1]
+            t, *_ = np.linalg.lstsq(A, b, rcond=None)
+            return t
+
         def hybrid_step(f):
             """relativePoseHybrid fallback when the PnP chain breaks:
             E-matrix rotation + depth-anchored metric translation f-1 → f
@@ -730,6 +772,24 @@ class Estimator:
                 obs2 = list(un[idxs, f])
             else:
                 pts_w, obs2 = [], []
+            # gyro-predicted cam→world rotation for this frame
+            R_pred = R_wc[f - 1] @ dR_cam[f - 1]
+
+            def rot_gated(R_new, t_new, pts_w=pts_w, obs2=obs2,
+                          R_pred=R_pred):
+                """Accept the visual rotation only when it agrees with the
+                gyro over the interval; otherwise keep the gyro rotation and
+                re-solve the translation linearly (rotation is the quantity
+                the gyro measures directly — the visual chain only has to
+                supply the metric translation)."""
+                if rot_angle_deg(R_new, R_pred) <= GYRO_GATE_DEG:
+                    return R_new, t_new
+                if len(pts_w) >= 6:
+                    t_cam = translation_only(R_pred.T, pts_w, obs2)
+                    C = -R_pred @ t_cam
+                    return R_pred, C
+                return R_pred, t_new
+
             if len(pts_w) < 6:
                 alt = hybrid_step(f)
                 if alt is None:
@@ -737,11 +797,12 @@ class Estimator:
                         print(f"init: frame {f}: only {len(pts_w)} PnP points"
                               f" and hybrid fallback failed")
                     return False
-                R_wc.append(alt[0])
-                t_wc.append(alt[1])
+                Rg, tg = rot_gated(alt[0], alt[1])
+                R_wc.append(Rg)
+                t_wc.append(tg)
                 continue
             pts_p, obs_p, val_p = pnp.pad_points(pts_w, obs2)
-            R0 = R_wc[f - 1].T  # world→cam seed
+            R0 = R_pred.T       # world→cam seed from the gyro chain
             t0 = t_wc[f - 1]
             R, tt, err = pnp.pnp_gn(
                 jnp.asarray(pts_p, dt), jnp.asarray(obs_p, dt),
@@ -754,11 +815,13 @@ class Estimator:
                         print(f"init: frame {f}: PnP err "
                               f"{float(err)*win.FOCAL:.2f} px, no hybrid")
                     return False
-                R_wc.append(alt[0])
-                t_wc.append(alt[1])
+                Rg, tg = rot_gated(alt[0], alt[1])
+                R_wc.append(Rg)
+                t_wc.append(tg)
                 continue
-            R_wc.append(np.asarray(R).T)
-            t_wc.append(np.asarray(tt))
+            Rg, tg = rot_gated(np.asarray(R).T, np.asarray(tt))
+            R_wc.append(Rg)
+            t_wc.append(tg)
 
         # body rotations / camera centers for alignment
         Rex_n = np.asarray(Rex)
@@ -772,6 +835,15 @@ class Estimator:
             preints.jacobian[:, pre.O_R:pre.O_R + 3, pre.O_BG:pre.O_BG + 3],
             preints.delta_q)
         bg = np.asarray(dbg)
+        # plausibility gate: a solved bias ≫ any real MEMS gyro bias means
+        # the visual rotations are corrupt, and the stiff bias random walk
+        # makes a wrong init bias quasi-permanent in the window solver —
+        # better to fail init and retry on the next window
+        if np.linalg.norm(bg) > 0.15:
+            if getattr(self, "debug", False):
+                print(f"init: implausible gyro bias |bg|="
+                      f"{np.linalg.norm(bg):.3f} rad/s — rejecting window")
+            return False
         preints = self._preintegrate_all(ba=np.zeros(3), bg=bg)
 
         ok, g_b0, v_body = alignment.linear_alignment_with_depth(
@@ -1129,10 +1201,13 @@ class Estimator:
         dt = self.cfg.dtype
         Rex = np.asarray(lie.quat_to_rot(self.ws.ex_q[ex_idx]))
         tex = np.asarray(self.ws.ex_p[ex_idx])
-        R_old_b = np.asarray(lie.quat_to_rot(jnp.asarray(relo["Q"])))
-        # seed: old KF camera pose in (drift-free assumed) current world
+        # seed: the matched window frame's pose (the loop revisits it; the
+        # payload's old-KF pose is in the loop-corrected world, not ours)
+        i = prep["i"]
+        R_old_b = np.asarray(lie.quat_to_rot(jnp.asarray(self.ws.Q[i])))
+        P_seed = np.asarray(self.ws.P[i])
         R_seed_wc = R_old_b @ Rex
-        c_seed = relo["P"] + R_old_b @ tex
+        c_seed = P_seed + R_old_b @ tex
         key = jax.random.PRNGKey(int(relo["stamp"] * 1e3) & 0x7FFFFFFF)
         sel_pp, sel_op, sel_vp = pnp.pad_points(sel_p, sel_o)
         R_cw, c, inl = pnp.pnp_ransac(

@@ -20,6 +20,64 @@ def blob_texture(rng, H, W, n_blobs=120, margin=80):
     return img, margin
 
 
+def bandlimited_texture(rng, H, W, margin=250, cell=6, octaves=3):
+    """Smooth band-limited random texture (multi-octave value noise,
+    bicubic-upsampled): C¹ gradients everywhere, no step edges.
+
+    The blob texture's binary edges quantize event positions to the pixel
+    grid, which floors LK tracking noise at ~0.5 px and starves stereo-scale
+    observability at ≥180×240 (NOTES_r4 synthetic-fidelity cliff).  This
+    field keeps |∇I| informative at every pixel so time-surface LK stays
+    sub-pixel at DSEC geometry.
+    """
+    import jax
+    import jax.numpy as jnp
+    HH, WW = H + 2 * margin, W + 2 * margin
+    img = np.zeros((HH, WW))
+    amp = 1.0
+    for o in range(octaves):
+        c = cell * (2 ** o)
+        gh, gw = HH // c + 2, WW // c + 2
+        g = rng.normal(size=(gh, gw))
+        up = np.asarray(jax.image.resize(
+            jnp.asarray(g, jnp.float32), (gh * c, gw * c), "bicubic"))
+        img += amp * up[:HH, :WW]
+        amp *= 0.6
+    img -= img.min()
+    img /= max(img.max(), 1e-9)
+    return img * 200.0 + 20.0, margin
+
+
+class ContrastEventModel:
+    """ESIM-style per-pixel contrast-threshold event camera.
+
+    Each pixel holds a reference intensity; an event fires every time the
+    current intensity departs from the reference by more than `C`, and the
+    reference steps toward the new value in multiples of C.  Unlike a plain
+    frame-diff, slow sub-threshold motion ACCUMULATES until it crosses the
+    threshold — required for smooth (band-limited) textures.
+    """
+
+    def __init__(self, img0, C=8.0):
+        self.ref = img0.astype(np.float64).copy()
+        self.C = float(C)
+
+    def step(self, img, t, rng=None):
+        d = img - self.ref
+        n = np.floor(np.abs(d) / self.C)
+        yy, xx = np.nonzero(n >= 1)
+        if not len(yy):
+            return (np.zeros(0), np.zeros(0, np.int32),
+                    np.zeros(0, np.int32), np.zeros(0, np.int32))
+        sgn = np.sign(d[yy, xx])
+        self.ref[yy, xx] += sgn * n[yy, xx] * self.C
+        tt = np.full(len(yy), t)
+        if rng is not None:
+            tt = tt + rng.uniform(-1e-4, 1e-4, len(yy))
+        return tt, xx.astype(np.int32), yy.astype(np.int32), \
+            (sgn > 0).astype(np.int32)
+
+
 def sample_texture(tex, margin, H, W, off_x, off_y):
     """View of the texture at sub-pixel offset (bilinear)."""
     y, x = np.mgrid[0:H, 0:W].astype(np.float64)
@@ -266,15 +324,31 @@ def planar_vio_sequence_rot(rng, H=120, W=160, focal=200.0, plane_z=4.0,
                             baseline=0.10, duration=2.0, imu_hz=200,
                             event_hz=400, g_norm=9.80766, rot_amp_deg=4.0,
                             frame_hz=0, img_H=None, img_W=None,
-                            img_focal=None):
+                            img_focal=None, texture="blob",
+                            gyr_bias=None, acc_bias=None,
+                            imu_noise_rng=None, gyr_n=0.0, acc_n=0.0):
     """Stereo events + IMU from a camera over a textured plane WITH rotational
-    excitation (pitch/roll wobble) so gravity/bias are observable."""
+    excitation (pitch/roll wobble) so gravity/bias are observable.
+
+    texture="smooth" uses the band-limited field + ESIM contrast model
+    (sub-pixel event fidelity at large geometries); "blob" keeps the legacy
+    binary texture + frame-diff events that the committed goldens pin.
+
+    gyr_bias / acc_bias: constant sensor biases (rad/s, m/s²) added to the
+    measurements — real IMUs have them, VIO must estimate them, and without
+    them the e2e tests never exercise the bias chain and accumulate no drift
+    for loop closure to fix.  gyr_n / acc_n: white-noise std per sample
+    (needs imu_noise_rng).
+    """
     import jax.numpy as jnp
     from esvio_tpu.core import lie
     from esvio_tpu.io import datasets as ds
 
-    tex, margin = blob_texture(rng, H * 2, W * 2, n_blobs=int(H * W / 25),
-                               margin=250)
+    if texture == "smooth":
+        tex, margin = bandlimited_texture(rng, H * 2, W * 2, margin=250)
+    else:
+        tex, margin = blob_texture(rng, H * 2, W * 2, n_blobs=int(H * W / 25),
+                                   margin=250)
     tex_scale = focal / plane_z
     tex_cx = tex.shape[1] / 2
     tex_cy = tex.shape[0] / 2
@@ -320,12 +394,22 @@ def planar_vio_sequence_rot(rng, H=120, W=160, focal=200.0, plane_z=4.0,
         dR = Rs[k].T @ Rs[k + 1]
         gyr[k] = np.asarray(lie.so3_log(jnp.asarray(dR))) / dt_imu
     gyr[-1] = gyr[-2]
+    if gyr_bias is not None:
+        gyr = gyr + np.asarray(gyr_bias)[None, :]
+    if acc_bias is not None:
+        acc = acc + np.asarray(acc_bias)[None, :]
+    if imu_noise_rng is not None:
+        if gyr_n:
+            gyr = gyr + imu_noise_rng.normal(0, gyr_n, gyr.shape)
+        if acc_n:
+            acc = acc + imu_noise_rng.normal(0, acc_n, acc.shape)
 
     # events from frame diffs of the homography renders
     ev_t = np.arange(t0, t0 + duration, 1.0 / event_hz)
 
     def gen_events(cam_offset):
         ts, xs, ys, ps = [], [], [], []
+        model = None
         prev = None
         for k, t in enumerate(ev_t):
             tt = t - t0
@@ -333,7 +417,18 @@ def planar_vio_sequence_rot(rng, H=120, W=160, focal=200.0, plane_z=4.0,
             p = pos(np.atleast_1d(tt))[0] + R @ cam_offset
             img = render_plane(tex, margin, H, W, focal, cx, cy, R, p,
                                plane_z, tex_scale, tex_cx, tex_cy)
-            if prev is not None:
+            if texture == "smooth":
+                # ESIM contrast model: sub-threshold motion accumulates
+                if model is None:
+                    model = ContrastEventModel(img, C=8.0)
+                else:
+                    et, ex, ey, ep = model.step(img, t, rng)
+                    if len(et):
+                        ts.append(et)
+                        xs.append(ex)
+                        ys.append(ey)
+                        ps.append(ep)
+            elif prev is not None:
                 diff = img - prev
                 yy, xx = np.nonzero(np.abs(diff) > 8.0)
                 if len(yy):

@@ -396,3 +396,33 @@ def test_optimize_cadence_solve_count(monkeypatch):
         f"(cadence {cfg.optimize_cadence}): {solves}"
     for a, b in zip(solves[1:], solves[2:]):
         assert b - a >= cfg.optimize_cadence, solves
+
+
+def test_keyframe_added_between_solves_carries_drift():
+    """A keyframe registered while a drift is active must get r_drift/t_drift
+    applied to its optimized pose AT ADD TIME (addKeyFrame,
+    pose_graph.cpp:76-80) — not only when the next cadenced 4-DoF solve
+    rewrites the graph.  Regression test for VERDICT r4 #1: the r4 cadence
+    fix unmasked keyframes keeping their raw VIO pose between solves."""
+    from esvio_tpu.core import lie_np
+
+    lc = loop_closure.LoopCloser(loop_closure.LoopConfig())
+    yaw = 10.0   # degrees
+    lc.r_drift = lie_np.ypr_to_rot([yaw, 0.0, 0.0])
+    lc.t_drift = np.array([0.5, -0.25, 0.1])
+
+    img = np.zeros((64, 64))
+    q_id = np.array([1.0, 0, 0, 0])
+    pts = np.zeros((4, 3))
+    uv = np.array([[20.0, 20], [40, 20], [20, 40], [40, 40]])
+    ok = np.ones(4, bool)
+    t_vio = np.array([1.0, 2.0, 0.3])
+    idx = lc.db.count
+    lc.add_keyframe(0.0, t_vio, q_id, pts, uv, ok, img)
+
+    np.testing.assert_allclose(
+        lc.db.t_opt[idx], lc.r_drift @ t_vio + lc.t_drift, atol=1e-9)
+    ypr = lie_np.rot_to_ypr(lie_np.quat_to_rot(lc.db.q_opt[idx]))
+    assert abs(ypr[0] - yaw) < 1e-6, ypr
+    # the VIO pose itself stays unshifted (only w_r_vio/w_t_vio touch it)
+    np.testing.assert_allclose(lc.db.t_vio[idx], t_vio, atol=1e-12)
