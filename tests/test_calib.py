@@ -156,3 +156,106 @@ def test_calibrate_kb_fisheye(rng, tmp_path):
         cam2, jnp.asarray([[400.0, 300.0]])))[0]
     uv = np.asarray(cam_mod.space_to_plane(cam2, jnp.asarray([ray])))[0]
     assert np.abs(uv - [400.0, 300.0]).max() < 0.1
+
+
+def test_calibrate_mei(rng, tmp_path):
+    """MEI (unified omnidirectional) calibration recovers the ground-truth
+    camera functionally on a synthetic catadioptric rig (reference
+    intrinsic_calib.cc:247 --camera-model mei, CostFunctionFactory.cc MEI
+    residuals)."""
+    gt = dict(gamma1=760.0, gamma2=755.0, u0=325.0, v0=242.0, xi=0.9,
+              dist=np.array([-0.15, 0.05, 5e-4, -3e-4]))
+    cam = cam_mod.make_mei(gt["xi"], gt["gamma1"], gt["gamma2"],
+                           gt["u0"], gt["v0"], dist=tuple(gt["dist"]),
+                           width=640, height=480, dtype=jnp.float64)
+    board = _board()
+    ws, ts = _views(rng, board)
+    V, N = len(ws), len(board)
+    img = np.zeros((V, N, 2))
+    for v in range(V):
+        R = np.asarray(lie.so3_exp(jnp.asarray(ws[v])))
+        pc = board @ R.T + ts[v]
+        img[v] = np.asarray(cam_mod.space_to_plane(cam, jnp.asarray(pc)))
+    img += rng.normal(0, 0.1, img.shape)
+
+    obj = np.tile(board[None], (V, 1, 1))
+    res = calib.calibrate_mei(obj, img)
+    assert res["rms"] < 0.15, res["rms"]
+    # xi trades off against gamma over a finite FoV (the classic MEI
+    # ambiguity); assert FUNCTIONAL equivalence like the KB test
+    cam_fit = cam_mod.make_mei(
+        res["xi"], res["gamma1"], res["gamma2"], res["u0"], res["v0"],
+        dist=tuple(res["dist"]), width=640, height=480, dtype=jnp.float64)
+    th = np.linspace(0.02, 0.75, 24)
+    psi = np.linspace(0, 2 * np.pi, 13)[:-1]
+    rays = np.stack([np.outer(np.sin(th), np.cos(psi)).ravel(),
+                     np.outer(np.sin(th), np.sin(psi)).ravel(),
+                     np.outer(np.cos(th), np.ones_like(psi)).ravel()], -1)
+    uv_gt = np.asarray(cam_mod.space_to_plane(cam, jnp.asarray(rays)))
+    uv_fit = np.asarray(cam_mod.space_to_plane(cam_fit, jnp.asarray(rays)))
+    assert np.abs(uv_fit - uv_gt).max() < 1.0, np.abs(uv_fit - uv_gt).max()
+
+    # YAML round-trip through the product reader
+    path = tmp_path / "mei.yaml"
+    calib.write_camera_yaml_mei(str(path), res, 640, 480)
+    cam2 = load_camera_yaml(str(path))
+    assert abs(float(cam2.xi) - res["xi"]) < 1e-6
+    ray = np.asarray(cam_mod.lift_projective(
+        cam2, jnp.asarray([[400.0, 300.0]])))[0]
+    uv = np.asarray(cam_mod.space_to_plane(cam2, jnp.asarray([ray])))[0]
+    assert np.abs(uv - [400.0, 300.0]).max() < 0.1
+
+
+def test_calibrate_scaramuzza(rng, tmp_path):
+    """Scaramuzza/OCam calibration: forward-poly GN + inverse-poly fit
+    recovers a ground-truth OCam camera functionally (reference
+    intrinsic_calib.cc --camera-model scaramuzza)."""
+    # ground-truth forward polynomial (typical OCamCalib shape: a1 = 0)
+    gt_poly = np.array([-420.0, 0.0, 8.0e-4, -2.0e-7, 1.0e-10])
+    gt_cx, gt_cy = 322.0, 243.0
+    gt_inv = calib.fit_inv_poly(gt_poly, max_radius=np.hypot(322.0, 243.0))
+    cam = cam_mod.make_scaramuzza(gt_poly, gt_inv, cx=gt_cx, cy=gt_cy,
+                                  width=640, height=480, dtype=jnp.float64)
+    # GT projection must itself be consistent (inv fit quality)
+    ray = np.asarray(cam_mod.lift_projective(
+        cam, jnp.asarray([[420.0, 310.0]])))[0]
+    uv = np.asarray(cam_mod.space_to_plane(cam, jnp.asarray([ray])))[0]
+    assert np.abs(uv - [420.0, 310.0]).max() < 0.05, uv
+
+    board = _board()
+    ws, ts = _views(rng, board)
+    V, N = len(ws), len(board)
+    img = np.zeros((V, N, 2))
+    for v in range(V):
+        R = np.asarray(lie.so3_exp(jnp.asarray(ws[v])))
+        pc = board @ R.T + ts[v]
+        img[v] = np.asarray(cam_mod.space_to_plane(cam, jnp.asarray(pc)))
+    img += rng.normal(0, 0.1, img.shape)
+
+    obj = np.tile(board[None], (V, 1, 1))
+    res = calib.calibrate_scaramuzza(obj, img, width=640, height=480)
+    assert res["rms"] < 0.2, res["rms"]
+    assert abs(res["cx"] - gt_cx) < 1.5 and abs(res["cy"] - gt_cy) < 1.5
+
+    # functional equivalence over the observed field
+    cam_fit = cam_mod.make_scaramuzza(
+        res["poly"], res["inv_poly"], cx=res["cx"], cy=res["cy"],
+        affine=tuple(res["affine"]), width=640, height=480,
+        dtype=jnp.float64)
+    th = np.linspace(0.02, 0.6, 20)
+    psi = np.linspace(0, 2 * np.pi, 13)[:-1]
+    rays = np.stack([np.outer(np.sin(th), np.cos(psi)).ravel(),
+                     np.outer(np.sin(th), np.sin(psi)).ravel(),
+                     np.outer(np.cos(th), np.ones_like(psi)).ravel()], -1)
+    uv_gt = np.asarray(cam_mod.space_to_plane(cam, jnp.asarray(rays)))
+    uv_fit = np.asarray(cam_mod.space_to_plane(cam_fit, jnp.asarray(rays)))
+    assert np.abs(uv_fit - uv_gt).max() < 1.5, np.abs(uv_fit - uv_gt).max()
+
+    # YAML round-trip through the product reader
+    path = tmp_path / "scara.yaml"
+    calib.write_camera_yaml_scara(str(path), res, 640, 480)
+    cam2 = load_camera_yaml(str(path))
+    ray = np.asarray(cam_mod.lift_projective(
+        cam2, jnp.asarray([[420.0, 310.0]])))[0]
+    uv = np.asarray(cam_mod.space_to_plane(cam2, jnp.asarray([ray])))[0]
+    assert np.abs(uv - [420.0, 310.0]).max() < 0.1
