@@ -11,7 +11,9 @@ DAVIS346 resolution with 128k-event chunks.  Baseline: 10 Mev/s = 5× the
 Extras cover the rest of the per-tick product path (VERDICT r1 weak #1/#5):
   * tracker_tick_ms      — FULL track_event_stereo tick (SAE+TS+LK×4+
                            FM-RANSAC+spacing+stereo LK+undistort+velocity)
-  * pipeline_ticks_per_sec — serial tracker tick + window solve per tick
+  * dispatch_arithmetic_ticks_per_sec — serial tracker tick + window solve
+                           arithmetic; the ORCHESTRATED product rate is
+                           pipeline_run_measured_ticks_per_sec
   * solve_window_ms      — product-config (f32) sliding-window LM solve
   * batchN_*             — vmap DP scaling of the solver on one chip
   * roofline: analytic FLOPs/bytes of the solver normal-equation assembly
@@ -467,7 +469,11 @@ def main():
             "solver_gflops": round(sv["gflops"], 1),
             "solver_mfu_pct_f32peak": round(
                 100 * sv["gflops"] / 1e3 / PEAK_F32_TFLOPS, 2),
-            "pipeline_ticks_per_sec": round(1000.0 / pipeline_tick_ms, 1),
+            # component-sum arithmetic (tracker tick + solve, one dispatch
+            # each) — NOT the orchestrated product rate; that is
+            # pipeline_run_measured_ticks_per_sec below (VERDICT r4 #9)
+            "dispatch_arithmetic_ticks_per_sec": round(
+                1000.0 / pipeline_tick_ms, 1),
             "dp_batch": sv["batch"],
             "dp_batch_solves_per_sec": round(
                 sv["batch"] * 1000.0 / sv["batch_ms"], 1),

@@ -165,6 +165,7 @@ class Pipeline:
         self._last_v = None
         self._prev_v = None
         self._last_img_idx = -1
+        self._pending_kf = None   # loop keyframe dispatched, not yet committed
 
     def _prep_frame(self, frame) -> jnp.ndarray:
         """Grayscale-convert + resize to config dims (getImageFromMsg,
@@ -223,10 +224,26 @@ class Pipeline:
                 if pending is not None:   # finish the pre-gap tick first
                     self._estimator_stage(pending, seq, freq, res, tim, met)
                     pending = None
+                if self.loop_closer is not None and \
+                        self._pending_kf is not None:
+                    # the pre-gap keyframe is still valid map data
+                    self.loop_closer.commit_keyframe(self._pending_kf)
                 res.n_restarts += 1
                 self._reset()
                 prev_t = None
             self._last_event_time = t
+
+            # event-count metric from the packetizer's host-side counts (the
+            # n_host rider) — summing the device-resident valid mask here
+            # blocked on a full tunnel round trip per tick and defeated the
+            # overlap dispatch (VERDICT r4 #3)
+            n_l = getattr(ch_l, "n_host", None)
+            n_r = getattr(ch_r, "n_host", None)
+            if n_l is None:
+                n_l = float(np.sum(np.asarray(ch_l.valid)))
+            if n_r is None:
+                n_r = float(np.sum(np.asarray(ch_r.valid)))
+            met.count("events", float(n_l) + float(n_r))
 
             # optional IMU-aided motion compensation (Do_motion_correction);
             # estimator velocity feedback is one tick stale under overlap
@@ -255,8 +272,6 @@ class Pipeline:
                 self.tracker_state, pkt_evt = trk.track_event_stereo(
                     self.tracker_cfg, cam_el, cam_er, self.tracker_state,
                     ch_l, ch_r, t)
-            met.count("events", float(np.sum(np.asarray(ch_l.valid)))
-                      + float(np.sum(np.asarray(ch_r.valid))))
             pkt_img = self._image_frontend(seq, t, tim)
 
             # ---- estimator stage for tick k-1 (overlap) or k (serial) -----
@@ -274,6 +289,12 @@ class Pipeline:
         if pending is not None:
             self._estimator_stage(pending, seq, freq, res, tim, met)
         if self.loop_closer is not None:
+            if self._pending_kf is not None:
+                info = self.loop_closer.commit_keyframe(self._pending_kf)
+                self._pending_kf = None
+                if info is not None:
+                    met.count("loops")
+                    res.n_loops += 1
             self.loop_closer.flush()   # run any cadence-pending 4-DoF solve
             self._rebuild_loop_path(res)
         res.metrics = met.summary()
@@ -360,24 +381,14 @@ class Pipeline:
         self.estimator.update_latest()   # re-sync IMU-rate state (update())
 
         # ---- loop closure (pose_graph node analog) -------------------------
-        if self.loop_closer is not None and out.keyframe is not None \
-                and out.solver_flag == "NON_LINEAR":
-            kf = out.keyframe
-            # BRIEF source image: raw left frame in ESVIO; the left time
-            # surface in ESIO (pose_graph subscribes the left image topic)
-            if cfg.system_mode == 1 and self._imgs is not None:
-                loop_img = np.asarray(self._prep_frame(self._imgs[1][img_idx]))
-            else:
-                loop_img = np.asarray(self.tracker_state.prev_pyr[0][0])
-            from esvio_tpu.core.camera import space_to_plane
-            rays = np.concatenate(
-                [kf["un"], np.ones((len(kf["un"]), 1))], axis=1)
-            uv = np.asarray(space_to_plane(self._loop_cam, jnp.asarray(rays)))
+        # commit LAST tick's pending keyframe first: its device work and
+        # device→host transfer overlapped the tick in between (the pose-graph
+        # node is an asynchronous process in the reference, so a one-tick
+        # registration delay matches its semantics and costs no round trip)
+        if self.loop_closer is not None and self._pending_kf is not None:
             with tim("loop_closure"):
-                info = self.loop_closer.add_keyframe(
-                    kf["stamp"], kf["P"], kf["Q"], kf["pts_w"], uv,
-                    np.ones(len(uv), bool), loop_img, ids=kf["ids"],
-                    sequence=self.sequence)
+                info = self.loop_closer.commit_keyframe(self._pending_kf)
+            self._pending_kf = None
             if info is not None:
                 met.count("loops")
                 res.n_loops += 1
@@ -385,6 +396,21 @@ class Pipeline:
                     self.estimator.set_relo_frame(
                         info["stamp_new"], info["match_ids"],
                         info["match_un_old"], info["t_old"], info["q_old"])
+        if self.loop_closer is not None and out.keyframe is not None \
+                and out.solver_flag == "NON_LINEAR":
+            kf = out.keyframe
+            # BRIEF source image: raw left frame in ESVIO; the left time
+            # surface in ESIO (pose_graph subscribes the left image topic).
+            # Kept as DEVICE arrays — begin_keyframe consumes them in-graph.
+            if cfg.system_mode == 1 and self._imgs is not None:
+                loop_img = self._prep_frame(self._imgs[1][img_idx])
+            else:
+                loop_img = self.tracker_state.prev_pyr[0][0]
+            with tim("loop_closure"):
+                self._pending_kf = self.loop_closer.begin_keyframe(
+                    kf["stamp"], kf["P"], kf["Q"], kf["pts_w"], kf["un"],
+                    np.ones(len(kf["un"]), bool), loop_img, ids=kf["ids"],
+                    sequence=self.sequence, uv_is_normalized=True)
         # fast-reloc drift feedback: the window-refined loop edge replaces
         # the PnP edge and updates drift instantly (relo_relative_pose →
         # updateKeyFrameLoop, pose_graph.cpp:887-933)

@@ -165,9 +165,14 @@ def iterate_chunks(stream: EventStream, freq: float, capacity: int,
             continue
         if hi - lo > capacity:  # keep the newest `capacity` events
             lo = hi - capacity
-        yield float(edges[k]), chunk_from_arrays(
+        ch = chunk_from_arrays(
             stream.t[lo:hi], stream.x[lo:hi], stream.y[lo:hi], stream.p[lo:hi],
             capacity)
+        # host-side event count rider: metrics must not device_get the valid
+        # mask back per tick (a ~40 ms tunnel round trip that defeats async
+        # dispatch, VERDICT r4 #3) — invisible to jit (not a pytree field)
+        object.__setattr__(ch, "n_host", int(hi - lo))
+        yield float(edges[k]), ch
 
 
 def iterate_chunks_fast(stream: EventStream, freq: float, capacity: int,
@@ -191,11 +196,14 @@ def iterate_chunks_fast(stream: EventStream, freq: float, capacity: int,
     stamps, ts, xs, ys, ps, vs = native.packetize(
         stream.t, stream.x, stream.y, stream.p, t0, freq, capacity, n_frames)
     for k in range(len(stamps)):
-        if not vs[k].any():
+        n = int(vs[k].sum())
+        if n == 0:
             continue   # empty tick = no packet (see iterate_chunks)
-        yield float(stamps[k]), EventChunk(
+        ch = EventChunk(
             t=jnp.asarray(ts[k]), x=jnp.asarray(xs[k]), y=jnp.asarray(ys[k]),
             p=jnp.asarray(ps[k]), valid=jnp.asarray(vs[k]))
+        object.__setattr__(ch, "n_host", n)   # see iterate_chunks
+        yield float(stamps[k]), ch
 
 
 def imu_between(imu: ImuStream, t0: float, t1: float):

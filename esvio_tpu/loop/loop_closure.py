@@ -25,6 +25,37 @@ MAX_YAW_DEG = 30.0      # keyframe.cpp:523
 MAX_DIST_M = 20.0
 
 
+@functools.partial(jax.jit, static_argnames=("threshold", "max_corners",
+                                             "uv_is_normalized"))
+def _loop_features(img, win_uv, win_valid, cam, *, threshold: int,
+                   max_corners: int, uv_is_normalized: bool = False):
+    """All device work of KeyFrame construction in ONE program: BRIEF at
+    the window points (computeWindowBRIEFPoint), FAST + BRIEF + ray lift
+    for the retrieval/PnP point set (computeBRIEFPoint, keyframe.cpp:116-161).
+
+    Previously each piece (and an EAGER per-op lift_projective chain) was
+    its own dispatch — ~600 ms per keyframe through the axon tunnel (r5
+    profile); now it is one dispatch whose results the pipeline consumes a
+    tick later (the pose-graph node is asynchronous in the reference too).
+
+    uv_is_normalized: win_uv holds normalized (x, y) image-plane coords
+    (the estimator's keyframe packet); they are projected to pixels
+    in-graph instead of by an eager host-side space_to_plane."""
+    if uv_is_normalized:
+        from esvio_tpu.core.camera import space_to_plane
+        rays1 = jnp.concatenate(
+            [win_uv, jnp.ones_like(win_uv[..., :1])], axis=-1)
+        win_uv = space_to_plane(cam, rays1)
+    win_desc = brief.describe(img, win_uv, win_valid)
+    xy, _score, ok = fast.detect_fast(img, threshold, max_corners)
+    ext_desc = brief.describe(img, xy, ok)
+    out = dict(win_desc=win_desc, xy=xy, ok=ok, ext_desc=ext_desc)
+    if cam is not None:
+        from esvio_tpu.core.camera import lift_projective
+        out["rays"] = lift_projective(cam, xy)
+    return out
+
+
 @dataclasses.dataclass
 class LoopConfig:
     fast_threshold: int = 20
@@ -78,13 +109,17 @@ class LoopCloser:
         self._kfs_since_opt = 0
 
     # ------------------------------------------------------------------ add
-    def add_keyframe(self, stamp, t_w, q_w, win_pts_w, win_uv, win_valid,
-                     image, sequence=0, ids=None) -> Optional[dict]:
-        """Register a keyframe; returns loop info dict when a loop closes.
+    def begin_keyframe(self, stamp, t_w, q_w, win_pts_w, win_uv, win_valid,
+                       image, sequence=0, ids=None,
+                       uv_is_normalized=False) -> Optional[dict]:
+        """Dispatch the device half of keyframe registration (descriptors,
+        FAST corners, ray lifts) WITHOUT blocking; returns a pending handle
+        for commit_keyframe, or None when the node throttles drop the frame.
 
-        win_pts_w: (P, 3) world landmarks of the sliding window seen by this
-        keyframe; win_uv: (P, 2) their pixel coords in `image`.
-        """
+        The pipeline commits the handle one tick later so the device work
+        and the device→host transfer hide under the next tick's compute —
+        mirroring the asynchronous pose_graph process thread
+        (pose_graph_node.cpp:333-473)."""
         # node throttles (SKIP_FIRST_CNT / SKIP_CNT / SKIP_DIS,
         # pose_graph_node.cpp:345-375)
         self._n_seen += 1
@@ -100,30 +135,46 @@ class LoopCloser:
         self._n_since_kept = 0
         self._last_kept_P = np.asarray(t_w, float).copy()
 
+        # pad the (variable-length) window point set to the DB lane width so
+        # _loop_features compiles once, not once per track count
+        nw = self.db.n_window
+        n = min(len(win_uv), nw)
+        uvp = np.zeros((nw, 2), np.float32)
+        vp = np.zeros(nw, bool)
+        uvp[:n] = np.asarray(win_uv, np.float32)[:n]
+        vp[:n] = np.asarray(win_valid)[:n]
+
+        feats = _loop_features(
+            jnp.asarray(image, jnp.float32), jnp.asarray(uvp),
+            jnp.asarray(vp), self.cam,
+            threshold=self.cfg.fast_threshold,
+            max_corners=self.cfg.max_extra_corners,
+            uv_is_normalized=uv_is_normalized)
+        for leaf in jax.tree_util.tree_leaves(feats):
+            leaf.copy_to_host_async()           # start the transfer now
+        return dict(feats=feats, stamp=stamp, t_w=np.asarray(t_w, float),
+                    q_w=np.asarray(q_w, float),
+                    win_pts_w=np.asarray(win_pts_w, float),
+                    win_valid=vp, sequence=sequence, ids=ids)
+
+    def commit_keyframe(self, pending) -> Optional[dict]:
+        """Finish registering a keyframe begun with begin_keyframe: fetch
+        the device results, add to the database, run retrieval +
+        verification; returns loop info dict when a loop closes."""
+        stamp = pending["stamp"]
+        sequence = pending["sequence"]
+        ids = pending["ids"]
+        win_valid = pending["win_valid"]
+
         # map the incoming VIO pose into the fused world frame
         # (addKeyFrame entry, pose_graph.cpp:70-75)
-        t_w = self.w_r_vio @ np.asarray(t_w, float) + self.w_t_vio
-        R_w = self.w_r_vio @ lie_np.quat_to_rot(np.asarray(q_w, float))
+        t_w = self.w_r_vio @ pending["t_w"] + self.w_t_vio
+        R_w = self.w_r_vio @ lie_np.quat_to_rot(pending["q_w"])
         q_w = lie_np.rot_to_quat(R_w)
-        win_pts_w = self.w_r_vio @ np.asarray(win_pts_w, float).T
+        win_pts_w = self.w_r_vio @ pending["win_pts_w"].T
         win_pts_w = win_pts_w.T + self.w_t_vio
 
-        img = jnp.asarray(image, jnp.float32)
-        # descriptors at window points (computeWindowBRIEFPoint) + new FAST
-        # corners + descriptors (computeBRIEFPoint) — all device results come
-        # back in ONE batched fetch (per-array fetches cost a ~40 ms tunnel
-        # round trip each, r4)
-        win_desc_d = brief.describe(
-            img, jnp.asarray(win_uv, jnp.float32), jnp.asarray(win_valid))
-        xy_d, score_d, ok_d = fast.detect_fast(img, self.cfg.fast_threshold,
-                                               self.cfg.max_extra_corners)
-        ext_desc_d = brief.describe(img, xy_d, ok_d)
-        fetch = dict(win_desc=win_desc_d, xy=xy_d, ok=ok_d,
-                     ext_desc=ext_desc_d)
-        if self.cam is not None:
-            from esvio_tpu.core.camera import lift_projective
-            fetch["rays"] = lift_projective(self.cam, xy_d)
-        got = jax.device_get(fetch)
+        got = jax.device_get(pending["feats"])
         win_desc, ok = got["win_desc"], got["ok"]
         xy, ext_desc = got["xy"], got["ext_desc"]
         if self.cam is not None:
@@ -174,6 +225,18 @@ class LoopCloser:
         if first_ever or self._kfs_since_opt >= self.cfg.optimize_cadence:
             self._optimize()
         return info
+
+    def add_keyframe(self, stamp, t_w, q_w, win_pts_w, win_uv, win_valid,
+                     image, sequence=0, ids=None) -> Optional[dict]:
+        """Synchronous begin + commit (tests / non-pipelined callers).
+
+        win_pts_w: (P, 3) world landmarks of the sliding window seen by this
+        keyframe; win_uv: (P, 2) their pixel coords in `image`."""
+        pending = self.begin_keyframe(stamp, t_w, q_w, win_pts_w, win_uv,
+                                      win_valid, image, sequence, ids)
+        if pending is None:
+            return None
+        return self.commit_keyframe(pending)
 
     def flush(self):
         """Run any pending 4-DoF solve (end-of-sequence / shutdown)."""

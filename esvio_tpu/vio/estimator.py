@@ -44,6 +44,10 @@ WINDOW = win.WINDOW
 MARGIN_OLD = 0
 MARGIN_SECOND_NEW = 1
 
+# init PnP-chain rotation gate vs the gyro prediction (deg over one ~70 ms
+# interval); module-level so tests can probe sensitivity
+_GYRO_GATE_DEG = 5.0
+
 
 @dataclasses.dataclass(frozen=True)
 class EstimatorConfig:
@@ -71,6 +75,10 @@ class EstimatorConfig:
     # reduced system well-conditioned in f32 (tests/test_estimator.py carries
     # the f64-vs-f32 ATE ablation); f64 is emulated (slow) on TPU.
     dtype: type = jnp.float32
+    # steady-state ticks as ONE fused device program + one fetch (VERDICT r4
+    # #2); False forces the general multi-dispatch path (debug / parity
+    # tests — tests/test_fused_tick.py asserts the two agree)
+    fused: bool = True
 
 
 @dataclasses.dataclass
@@ -124,6 +132,142 @@ def _copy_prev_state(ws, k):
 _gauge_fix_jit = jax.jit(win.gauge_fix)
 
 
+def _stereo_ext_device(ws, l, r):
+    """Left→right stereo transform from the window extrinsics, in-graph
+    (the fused tick derives Rrl/Trl from the CURRENT ws.ex_q/ex_p instead of
+    a host cache, so extrinsic refinement needs no host round trip)."""
+    Rl = lie.quat_to_rot(ws.ex_q[l])
+    Rr = lie.quat_to_rot(ws.ex_q[r])
+    return Rr.T @ Rl, Rr.T @ (ws.ex_p[l] - ws.ex_p[r])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "has_img", "iters", "cauchy_c", "sc", "kf_ex_idx", "min_track"))
+def _fused_tick(ws, book_img, book_evt, prior, pkt_evt, pkt_img,
+                imu_dt, imu_acc, imu_gyr, a0s, g0s, imu_mask, imu_valid,
+                g, frozen, imu_params, min_parallax, *,
+                has_img: bool, iters: int, cauchy_c: float, sc: bool,
+                kf_ex_idx: int, min_track: int):
+    """The entire NON_LINEAR estimator tick as ONE device program:
+
+      dead-reckon new frame → insert packets → parallax keyframe decision
+      (on device) → stereo + multiview triangulation → IMU preintegration →
+      window LM solve → gauge fix → failure soft-reset → keyframe snapshot
+      → lax.cond(marg_old): marginalize+slide(old | second-new).
+
+    Reference scope: the whole Stereo_processVisual + slideWindow hot loop
+    (estimator.cpp:204-308, 1828-2288, 2650-2771).  The host makes exactly
+    one dispatch and one device_get per tick (VERDICT r4 #2) — at ~40 ms
+    tunnel round trip per blocking fetch this is what makes the MEASURED
+    pipeline real-time; the unfused path (kept for INITIAL / relo /
+    ex-calib ticks) pays ~15 dispatches + 2 fetches.
+
+    pkt_evt / pkt_img: (ids, valid, un, vel, right_valid, un_r, vel_r)
+    tuples; pkt_img is ignored (pass a dummy) when has_img=False.
+    Returns (ws', book_img', book_evt', prior', post) where post carries
+    every host-consumed output of the tick (pre-slide state, keyframe
+    snapshot arrays, decision/diagnostic scalars)."""
+    W = WINDOW
+
+    preints = pre.preintegrate_batch(
+        imu_dt, imu_acc, imu_gyr, a0s, g0s, ws.Ba[:W], ws.Bg[:W],
+        imu_params, imu_mask)
+
+    # dead-reckon the incoming frame from interval W (slot W-1); no-IMU
+    # ticks copy the previous state (_propagate_new_frame semantics)
+    p9 = jax.tree_util.tree_map(lambda x: x[W - 1], preints)
+    Qk = lie.quat_normalize(lie.quat_mul(ws.Q[W - 1], p9.delta_q))
+    Vk = ws.V[W - 1] + lie.quat_rotate(ws.Q[W - 1], p9.delta_v) - g * p9.sum_dt
+    Pk = ws.P[W - 1] + ws.V[W - 1] * p9.sum_dt \
+        + lie.quat_rotate(ws.Q[W - 1], p9.delta_p) - 0.5 * g * p9.sum_dt ** 2
+    ok_prop = jnp.any(imu_mask[W - 1])
+    ws = dataclasses.replace(
+        ws,
+        P=ws.P.at[W].set(jnp.where(ok_prop, Pk, ws.P[W - 1])),
+        Q=ws.Q.at[W].set(jnp.where(ok_prop, Qk, ws.Q[W - 1])),
+        V=ws.V.at[W].set(jnp.where(ok_prop, Vk, ws.V[W - 1])),
+        Ba=ws.Ba.at[W].set(ws.Ba[W - 1]),
+        Bg=ws.Bg.at[W].set(ws.Bg[W - 1]))
+
+    # packet insertion + keyframe test (stereo_addFeatureCheckParallax)
+    td0 = jnp.zeros_like(ws.td)
+    (e_ids, e_val, e_un, e_vel, e_rv, e_unr, e_velr) = pkt_evt
+    book_evt, n_trk_e, n_drop_e = fm.insert_packet(
+        book_evt, e_ids, e_val, e_un, e_vel, e_rv, e_unr, e_velr, td0, W)
+    if has_img:
+        (i_ids, i_val, i_un, i_vel, i_rv, i_unr, i_velr) = pkt_img
+        book_img, n_trk_i, n_drop_i = fm.insert_packet(
+            book_img, i_ids, i_val, i_un, i_vel, i_rv, i_unr, i_velr, td0, W)
+        par_book, n_trk = book_img, n_trk_i
+    else:
+        n_drop_i = jnp.asarray(0, n_drop_e.dtype)
+        par_book, n_trk = book_evt, n_trk_e
+    mean_par, num = fm.mean_parallax(par_book, W)
+    is_old = (n_trk < min_track) | (num == 0) | (mean_par >= min_parallax)
+
+    # triangulation with in-graph stereo extrinsics
+    rrl_i, trl_i = _stereo_ext_device(ws, 0, 2)
+    rrl_e, trl_e = _stereo_ext_device(ws, 1, 3)
+    book_img = fm.triangulate_stereo_instant(book_img, rrl_i, trl_i,
+                                             stereo_correction=sc)
+    book_img = fm.triangulate_multiview(book_img, ws, 0)
+    book_evt = fm.triangulate_stereo_instant(book_evt, rrl_e, trl_e,
+                                             stereo_correction=sc)
+    book_evt = fm.triangulate_multiview(book_evt, ws, 1)
+
+    # window solve + gauge fix + track-failure pruning
+    ref_p0, ref_q0 = ws.P[0], ws.Q[0]
+    ws, book_img, book_evt, _costs = gn.solve_window(
+        ws, book_img, book_evt, preints, imu_valid, prior, g,
+        iters=iters, cauchy_c=cauchy_c, frozen=frozen)
+    ws = win.gauge_fix(ws, ref_p0, ref_q0)
+    book_img = fm.remove_failures(book_img)
+    book_evt = fm.remove_failures(book_evt)
+
+    # failure detection: soft bias/velocity reset (estimator.cpp:1793-1825)
+    fail = (jnp.linalg.norm(ws.Ba[W]) > 2.5) | (jnp.linalg.norm(ws.Bg[W]) > 1.0)
+    ws = dataclasses.replace(
+        ws,
+        Ba=jnp.where(fail, 0.0, ws.Ba), Bg=jnp.where(fail, 0.0, ws.Bg),
+        V=jnp.where(fail, 0.0, ws.V))
+
+    # post snapshot (pre-slide) + keyframe packet for the pose graph
+    kf_book = book_img if kf_ex_idx == 0 else book_evt
+    kf_pts, kf_valid = fm.world_points(kf_book, ws, kf_ex_idx)
+    kf = W - 2
+    post = dict(P=ws.P, Q=ws.Q, V=ws.V, Ba=ws.Ba, Bg=ws.Bg,
+                kf_obs=kf_book.obs[:, kf], kf_valid=kf_valid,
+                kf_ids=kf_book.ids, kf_pts=kf_pts, kf_un=kf_book.un[:, kf],
+                marg_old=is_old, n_trk=n_trk, n_drop_e=n_drop_e,
+                n_drop_i=n_drop_i, fail=fail, mean_par=mean_par, num=num)
+
+    # marginalize + slide under the on-device keyframe decision
+    def old_branch(args):
+        ws, bi, be = args
+        pr = marg.marginalize_old(ws, bi, be, preints, imu_valid, prior, g,
+                                  cauchy_c)
+        marg_P, marg_Q = ws.P[0], ws.Q[0]
+        ws2 = _slide_old_state(ws)
+        bi2 = fm.slide_old(bi, marg_P, marg_Q, ws2.P[0], ws2.Q[0],
+                           ws.ex_p[0], ws.ex_q[0])
+        be2 = fm.slide_old(be, marg_P, marg_Q, ws2.P[0], ws2.Q[0],
+                           ws.ex_p[1], ws.ex_q[1])
+        return ws2, bi2, be2, pr
+
+    def second_branch(args):
+        ws, bi, be = args
+        pr = jax.lax.cond(prior.valid, marg.marginalize_second_new,
+                          lambda p: p, prior)
+        ws2 = _slide_second_state(ws)
+        bi2 = fm.slide_second_new(bi, win.N_STATES - 1)
+        be2 = fm.slide_second_new(be, win.N_STATES - 1)
+        return ws2, bi2, be2, pr
+
+    ws, book_img, book_evt, prior = jax.lax.cond(
+        is_old, old_branch, second_branch, (ws, book_img, book_evt))
+    return ws, book_img, book_evt, prior, post
+
+
 class Estimator:
     """Host-side estimator holding device pytrees + numpy IMU buffers."""
 
@@ -157,6 +301,7 @@ class Estimator:
         self.failures = 0
         self._prior_valid = False     # host mirror of prior.valid
         self._img_any = None          # per-tick cache for _loop_book
+        self._seen_img = False        # any image packet inserted yet
         self._post = None             # last tick's batched post-solve fetch
         self.n_solves = 0
         self.lanes_dropped = 0   # new features lost to lane exhaustion
@@ -438,9 +583,80 @@ class Estimator:
             jnp.asarray(packet.vel_right, dt), jnp.zeros_like(self.ws.td),
             frame_idx)
 
+    def _packet_arrays(self, packet):
+        dt = self.cfg.dtype
+        return (jnp.asarray(packet.ids, jnp.int32), jnp.asarray(packet.valid),
+                jnp.asarray(packet.un, dt), jnp.asarray(packet.vel, dt),
+                jnp.asarray(packet.right_valid),
+                jnp.asarray(packet.un_right, dt),
+                jnp.asarray(packet.vel_right, dt))
+
+    def _process_packets_fused(self, t: float, pkt_evt, pkt_img) -> Output:
+        """Steady-state NON_LINEAR tick through the single-program
+        `_fused_tick`: one dispatch + one device_get.  Host work is numpy
+        only (IMU ring bookkeeping, output packing)."""
+        cfg = self.cfg
+        dt = cfg.dtype
+        fc = self.frame_count                      # == WINDOW here
+        self._img_any = None
+        self.timestamps[fc] = t
+
+        a0s = np.zeros((WINDOW, 3))
+        g0s = np.zeros((WINDOW, 3))
+        for k in range(1, win.N_STATES):
+            a0s[k - 1], g0s[k - 1] = self._interval_first_sample(k)
+        mask = np.arange(cfg.imu_capacity)[None, :] < self.imu_n[1:, None]
+        imu_valid = self._imu_valid()
+        frozen = jnp.asarray(self._frozen_mask())
+        has_img = pkt_img is not None
+        if has_img:
+            self._seen_img = True
+        kf_ex_idx = 1 if (cfg.mode == "esio" or not self._seen_img) else 0
+        pe = self._packet_arrays(pkt_evt)
+        pi = self._packet_arrays(pkt_img) if has_img else pe   # dummy when absent
+
+        (self.ws, self.book_img, self.book_evt, self.prior, post_d) = \
+            _fused_tick(
+                self.ws, self.book_img, self.book_evt, self.prior, pe, pi,
+                jnp.asarray(self.imu_dt[1:], dt),
+                jnp.asarray(self.imu_acc[1:], dt),
+                jnp.asarray(self.imu_gyr[1:], dt),
+                jnp.asarray(a0s, dt), jnp.asarray(g0s, dt),
+                jnp.asarray(mask), imu_valid, self.g, frozen,
+                self.imu_params, jnp.asarray(cfg.min_parallax, dt),
+                has_img=has_img, iters=cfg.solver_iters,
+                cauchy_c=cfg.cauchy_c, sc=cfg.use_stereo_correction,
+                kf_ex_idx=kf_ex_idx, min_track=cfg.min_track_for_kf)
+        post = jax.device_get(post_d)              # the ONE fetch of this tick
+        marg_flag = MARGIN_OLD if bool(post["marg_old"]) \
+            else MARGIN_SECOND_NEW
+        self.last_marg = marg_flag
+        self.failures += int(post["fail"])
+        self.lanes_dropped += int(post["n_drop_e"]) + int(post["n_drop_i"])
+        post["n_tracked"] = int(post["n_trk"])
+
+        keyframe = self._keyframe_snapshot(post) \
+            if marg_flag == MARGIN_OLD else None
+        if marg_flag == MARGIN_OLD:
+            self._prior_valid = True
+        self._slide_host(marg_flag)                # numpy rings + stamps
+        self._post = post
+        return self._output(t, marg_flag, relo=None, keyframe=keyframe,
+                            post=post)
+
     def process_packets(self, t: float, pkt_evt, pkt_img=None) -> Output:
         """Main measurement step (Stereo_processVisual, estimator.cpp:204-308)."""
         cfg = self.cfg
+        if (cfg.fused and self.solver_flag == "NON_LINEAR"
+                and self._ex_calib_done and self._relo is None
+                and self.frame_count == WINDOW):
+            # hot path: whole tick in one device program (+ one fetch);
+            # relo / ex-calib ticks take the general path below
+            return self._process_packets_fused(t, pkt_evt, pkt_img)
+        if cfg.estimate_extrinsic:
+            # the fused path refines extrinsics without touching the host
+            # cache — refresh it before any host-cached triangulation here
+            self._update_stereo_extrinsics()
         fc = self.frame_count
         self._img_any = None
         self.timestamps[fc] = t
@@ -454,6 +670,7 @@ class Estimator:
             self.book_evt, pkt_evt, fc)
         fetch = dict(n_trk_e=n_trk_e, n_drop_e=n_drop_e)
         if pkt_img is not None:
+            self._seen_img = True
             self.book_img, n_trk_i, n_drop_i = self._insert(
                 self.book_img, pkt_img, fc)
             fetch.update(n_trk_i=n_trk_i, n_drop_i=n_drop_i)
@@ -714,7 +931,7 @@ class Estimator:
         for k in range(win.N_STATES - 1):
             dR_b = np.asarray(lie.quat_to_rot(preints.delta_q[k]))
             dR_cam.append(Rex_np.T @ dR_b @ Rex_np)
-        GYRO_GATE_DEG = 5.0   # gyro-noise bound over one ~70 ms interval
+        GYRO_GATE_DEG = _GYRO_GATE_DEG
 
         def rot_angle_deg(Ra, Rb):
             c = (np.trace(Ra.T @ Rb) - 1.0) / 2.0
@@ -801,13 +1018,28 @@ class Estimator:
                 R_wc.append(Rg)
                 t_wc.append(tg)
                 continue
-            pts_p, obs_p, val_p = pnp.pad_points(pts_w, obs2)
-            R0 = R_pred.T       # world→cam seed from the gyro chain
+            # fixed bucket = lane capacity: per-frame point counts vary
+            # run-to-run (f32 gate flips), and pow2 bucketing then compiles
+            # fresh pnp_gn variants DURING the measured run (~1 s each
+            # through the tunnel; seen in the r5 pipeline profile)
+            pts_p, obs_p, val_p = pnp.pad_points(
+                pts_w, obs2, min_size=int(un.shape[0]))
             t0 = t_wc[f - 1]
-            R, tt, err = pnp.pnp_gn(
-                jnp.asarray(pts_p, dt), jnp.asarray(obs_p, dt),
-                jnp.asarray(val_p), jnp.asarray(R0, dt),
-                jnp.asarray(t0, dt), iters=15)
+            # best-of-two seeds: the gyro-chain prediction (protects against
+            # visual jumps becoming phantom biases, r5) AND the previous
+            # frame's solution (the r4 basin — the gyro seed alone moved
+            # some noisy blob-texture chains into a divergent GN basin and
+            # broke default-config init, caught by test_run_cli)
+            best = None
+            for R0 in (R_pred.T, R_wc[f - 1].T):
+                R_c, tt_c, err_c = pnp.pnp_gn(
+                    jnp.asarray(pts_p, dt), jnp.asarray(obs_p, dt),
+                    jnp.asarray(val_p), jnp.asarray(R0, dt),
+                    jnp.asarray(t0, dt), iters=15)
+                err_c = float(err_c)
+                if best is None or err_c < best[2]:
+                    best = (R_c, tt_c, err_c)
+            R, tt, err = best
             if float(err) > 5.0 / win.FOCAL:
                 alt = hybrid_step(f)
                 if alt is None:
@@ -992,23 +1224,17 @@ class Estimator:
             post.update(jax.device_get(dict(
                 V=self.ws.V, Ba=self.ws.Ba, Bg=self.ws.Bg)))
 
-    def _slide(self, marg_flag, skip_marg=False):
-        """Window slide (slideWindow, estimator.cpp:2650-2771)."""
+    def _slide_host(self, marg_flag):
+        """Host-side (numpy) part of the window slide: timestamps + IMU
+        rings.  The fused tick slides the device state in-graph and calls
+        only this."""
         if marg_flag == MARGIN_OLD:
-            marg_P, marg_Q = self.ws.P[0], self.ws.Q[0]
-            self.ws = _slide_old_state(self.ws)
             self.timestamps[:-1] = self.timestamps[1:]
             self.imu_dt[:-1] = self.imu_dt[1:]
             self.imu_acc[:-1] = self.imu_acc[1:]
             self.imu_gyr[:-1] = self.imu_gyr[1:]
             self.imu_n[:-1] = self.imu_n[1:]
             self.imu_n[-1] = 0
-            self.book_img = fm.slide_old(
-                self.book_img, marg_P, marg_Q, self.ws.P[0], self.ws.Q[0],
-                self.ws.ex_p[0], self.ws.ex_q[0])
-            self.book_evt = fm.slide_old(
-                self.book_evt, marg_P, marg_Q, self.ws.P[0], self.ws.Q[0],
-                self.ws.ex_p[1], self.ws.ex_q[1])
         else:
             k = WINDOW
             # merge IMU interval k into k-1... slot k-1 takes frame k state
@@ -1020,6 +1246,20 @@ class Estimator:
             self.imu_n[k - 1] = n9 + take
             self.imu_n[k] = 0
             self.timestamps[k - 1] = self.timestamps[k]
+
+    def _slide(self, marg_flag, skip_marg=False):
+        """Window slide (slideWindow, estimator.cpp:2650-2771)."""
+        self._slide_host(marg_flag)
+        if marg_flag == MARGIN_OLD:
+            marg_P, marg_Q = self.ws.P[0], self.ws.Q[0]
+            self.ws = _slide_old_state(self.ws)
+            self.book_img = fm.slide_old(
+                self.book_img, marg_P, marg_Q, self.ws.P[0], self.ws.Q[0],
+                self.ws.ex_p[0], self.ws.ex_q[0])
+            self.book_evt = fm.slide_old(
+                self.book_evt, marg_P, marg_Q, self.ws.P[0], self.ws.Q[0],
+                self.ws.ex_p[1], self.ws.ex_q[1])
+        else:
             self.ws = _slide_second_state(self.ws)
             self.book_img = fm.slide_second_new(self.book_img, win.N_STATES - 1)
             self.book_evt = fm.slide_second_new(self.book_evt, win.N_STATES - 1)
@@ -1209,7 +1449,8 @@ class Estimator:
         R_seed_wc = R_old_b @ Rex
         c_seed = P_seed + R_old_b @ tex
         key = jax.random.PRNGKey(int(relo["stamp"] * 1e3) & 0x7FFFFFFF)
-        sel_pp, sel_op, sel_vp = pnp.pad_points(sel_p, sel_o)
+        sel_pp, sel_op, sel_vp = pnp.pad_points(sel_p, sel_o,
+                                                min_size=self.RELO_CAP)
         R_cw, c, inl = pnp.pnp_ransac(
             key, jnp.asarray(sel_pp, dt), jnp.asarray(sel_op, dt),
             jnp.asarray(sel_vp), jnp.asarray(R_seed_wc.T, dt),
